@@ -22,14 +22,23 @@ from .. import B_BM25, K1
 from ..functions.tokenize import tokenize_pd, tokens_expr
 
 
-def doc_tokens(docs: DataFrame, text_col: str = "document", id_col: str = "doc_id") -> DataFrame:
-    """docs -> (doc_id, term, tf, doclen). Catalyst-only tokenize + explode."""
+def doc_tokens(
+    docs: DataFrame,
+    text_col: str = "document",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """docs -> (doc_id, [carry...], term, tf, doclen). Catalyst tokenize+explode.
+
+    ``carry`` columns (e.g. src_part) are functionally dependent on doc_id and
+    ride through the groupBy unchanged.
+    """
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("tokens")
+        F.col(id_col).alias("doc_id"), *carry, tokens_expr(text_col).alias("tokens")
     ).withColumn("doclen", F.size("tokens"))
     return (
-        toks.select("doc_id", "doclen", F.explode("tokens").alias("term"))
-        .groupBy("doc_id", "doclen", "term")
+        toks.select("doc_id", *carry, "doclen", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", *carry, "doclen", "term")
         .agg(F.count("*").alias("tf"))
     )
 

@@ -1,0 +1,181 @@
+"""Query-time top-k over merged postings (SURVEY.md §2.6 T2, §3.2).
+
+Two exact scorers run per (shard) group inside ``applyInPandas`` — shards
+tile the docID space disjointly, so per-shard top-k → global
+TakeOrderedAndProject(k) is exact:
+
+- ``bmw``  — document-at-a-time block-max WAND (Ding & Suel style): block
+  skipping uses per-block (max_tf, min_dl) upper bounds computed with LIVE
+  corpus stats, and blocks that can't beat the running threshold θ are never
+  DECODED (block-restarted varint streams make per-block decode possible).
+  The analog of FAISS-IVF probing only nprobe inverted lists
+  (/root/reference/Makefile:24-25; README.md:16).
+- ``taat`` — term-at-a-time vectorized scoring: numpy bincount accumulation
+  over the shard's bounded doc range. No skipping, but zero Python-per-doc
+  work; wins when query terms are hot (dense lists).
+
+Both return identical rankings (tested); tie-break everywhere is
+(score DESC, doc_id ASC). All arithmetic float64.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+
+from .. import B_BM25, K1
+from ..codecs.postings import decode_block, decode_posting_list
+
+_INF = np.iinfo(np.int64).max
+
+
+def idf_of(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _contrib(idf: float, tfs, dls, k1: float, b: float, avgdl: float):
+    tfs = np.asarray(tfs, dtype=np.float64)
+    dls = np.asarray(dls, dtype=np.float64)
+    return idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
+class _Cursor:
+    """Block-skipping cursor over one encoded posting list."""
+
+    __slots__ = ("row", "idf", "k1", "b", "avgdl", "block_last", "block_ub",
+                 "term_ub", "n_blocks", "bi", "docs", "contribs", "i", "cur_doc")
+
+    def __init__(self, row: dict, idf: float, k1: float, b: float, avgdl: float):
+        self.row, self.idf, self.k1, self.b, self.avgdl = row, idf, k1, b, avgdl
+        self.block_last = np.asarray(row["block_last"], dtype=np.int64)
+        max_tf = np.asarray(row["block_max_tf"], dtype=np.float64)
+        min_dl = np.asarray(row["block_min_dl"], dtype=np.float64)
+        self.block_ub = idf * max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+        self.term_ub = float(self.block_ub.max())
+        self.n_blocks = self.block_last.shape[0]
+        self.bi = -1
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        if bi >= self.n_blocks:
+            self.cur_doc = _INF
+            return
+        docs, tfs, dls = decode_block(self.row, bi)
+        self.bi = bi
+        self.docs = docs
+        self.contribs = _contrib(self.idf, tfs, dls, self.k1, self.b, self.avgdl)
+        self.i = 0
+        self.cur_doc = int(docs[0])
+
+    def next_geq(self, target: int) -> None:
+        """Advance to first doc >= target; skips (never decodes) dead blocks."""
+        if self.cur_doc >= target:
+            return
+        if self.block_last[self.bi] < target:
+            nb = int(np.searchsorted(self.block_last, target, side="left"))
+            if nb >= self.n_blocks:
+                self.cur_doc = _INF
+                return
+            self._load(nb)
+        # block_last[bi] >= target, so a match exists inside this block
+        self.i = int(np.searchsorted(self.docs, target, side="left"))
+        self.cur_doc = int(self.docs[self.i])
+
+    def advance(self) -> None:
+        self.i += 1
+        if self.i >= self.docs.shape[0]:
+            self._load(self.bi + 1)
+        else:
+            self.cur_doc = int(self.docs[self.i])
+
+    def score_current(self) -> float:
+        return float(self.contribs[self.i])
+
+    def current_block_ub(self) -> float:
+        return float(self.block_ub[self.bi]) if self.cur_doc != _INF else 0.0
+
+
+def wand_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
+    """Exact block-max WAND over one shard's candidate lists.
+
+    Pruning is strict (< θ only), so score ties are always fully evaluated and
+    the (score DESC, doc_id ASC) order matches brute force exactly.
+    """
+    cursors = [_Cursor(r, idfs[r["term"]], k1, b, avgdl) for r in rows]
+    heap: list[tuple[float, int]] = []  # min-heap keyed (score, -doc_id)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    while True:
+        cursors = [c for c in cursors if c.cur_doc != _INF]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc)
+        th = theta()
+        cum = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            cum += c.term_ub
+            if cum >= th:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all remaining terms together can't reach θ
+        pivot_doc = cursors[pivot].cur_doc
+        if pivot_doc == _INF:
+            break
+        if cursors[0].cur_doc == pivot_doc:
+            aligned = [c for c in cursors if c.cur_doc == pivot_doc]
+            # block-max refinement: current blocks' UBs, strictly below θ → skip
+            if sum(c.current_block_ub() for c in aligned) < th:
+                for c in aligned:
+                    c.advance()
+                continue
+            s = sum(c.score_current() for c in aligned)
+            cand = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            for c in aligned:
+                c.advance()
+        else:
+            cursors[0].next_geq(pivot_doc)
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(doc, s) for s, doc in out]
+
+
+def taat_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
+    """Exact vectorized term-at-a-time scoring over one shard."""
+    base = min(int(r["first_doc"]) for r in rows)
+    hi = max(int(r["last_doc"]) for r in rows)
+    width = hi - base + 1
+    acc = np.zeros(width, dtype=np.float64)
+    touched = np.zeros(width, dtype=bool)
+    for r in rows:
+        docs, tfs, dls = decode_posting_list(r)
+        contrib = _contrib(idfs[r["term"]], tfs, dls, k1, b, avgdl)
+        idx = docs - base
+        acc += np.bincount(idx, weights=contrib, minlength=width)
+        touched[idx] = True
+    cand = np.flatnonzero(touched)
+    scores = acc[cand]
+    order = np.lexsort((cand, -scores))[:k]  # (score DESC, doc ASC), exact
+    return [(int(cand[i]) + base, float(scores[i])) for i in order]
+
+
+def make_shard_scorer(idfs: dict[str, float], k: int, avgdl: float,
+                      k1: float = K1, b: float = B_BM25, method: str = "bmw"):
+    """Returns an applyInPandas function: one shard's posting rows -> top-k."""
+    fn = wand_topk if method == "bmw" else taat_topk
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        top = fn(rows, idfs, k, k1, b, avgdl)
+        return pd.DataFrame({"doc_id": [d for d, _ in top], "score": [s for _, s in top]})
+
+    return score_shard

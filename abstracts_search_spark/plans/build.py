@@ -1,0 +1,224 @@
+"""Incremental, checkpoint-resumable index build (SURVEY.md §3.1/§3.3, M5).
+
+The Spark re-expression of the reference's `make all` DAG
+(/root/reference/Makefile:16-49): the per-partition ingest rules with their
+`touch events/updated_date=%` checkpoints (Makefile:57-66) become an anti-join
+of source partitions against the `lineage` table; the store dump + FAISS fill
+(Makefile:24-49) become the segment build + merge into `postings`/
+`dictionary`/`stats`. Write ordering is segments-then-lineage (lineage last =
+commit marker), so a crash anywhere leaves a state the next run resumes from —
+the `make recover` property (Makefile:98-101): data + lineage = complete
+checkpoint.
+
+Index layout under ``index_dir`` (the Iceberg path is a config flip — this
+facade only reads/writes whole tables):
+
+    docmap/               (doc_id, conv_id, doclen, src_part)
+    segments/src_part=K/  encoded per-partition posting segments
+    postings/bucket=B/    merged posting lists (+ block-max metadata)
+    dictionary/           (term, df, bucket)
+    stats/                (n_docs, avgdl, total_tokens)
+    lineage/              (src_part, n_convs, n_turns, n_docs, wall_sec, ts)
+    params.json           k1/b/buckets/shard_docs/block_size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import B_BM25, K1
+from ..codecs.postings import BLOCK_SIZE
+from ..functions.tokenize import tokens_expr
+from ..operators.docids import assign_doc_ids
+from ..operators.postings import (
+    DEFAULT_BUCKETS,
+    DEFAULT_SHARD_DOCS,
+    build_segments,
+    merge_segments,
+)
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") or f.startswith(("part=", "bucket=", "src_part="))
+        for f in os.listdir(path)
+    )
+
+
+def list_source_partitions(transcripts_dir: str) -> list[int]:
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(transcripts_dir)
+        if (m := re.fullmatch(r"part=(\d+)", d))
+    )
+
+
+def pending_partitions(spark: SparkSession, transcripts_dir: str, index_dir: str) -> list[int]:
+    """Incremental set difference (SURVEY.md §2.7 U1): source partitions
+    without a lineage row. The anti-join is done in Spark so the same code
+    runs when `lineage` is a billion-row Iceberg table."""
+    src = spark.createDataFrame(
+        [(p,) for p in list_source_partitions(transcripts_dir)], "src_part int"
+    )
+    lineage_path = os.path.join(index_dir, "lineage")
+    if _exists(lineage_path):
+        done = spark.read.parquet(lineage_path).select("src_part")
+        src = src.join(done, "src_part", "left_anti")
+    return sorted(r["src_part"] for r in src.collect())
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts_dir: str,
+    index_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+    max_parts: int | None = None,
+    skip_merge: bool = False,
+) -> dict:
+    """Process pending source partitions, then (re)merge. Returns metrics."""
+    t0 = time.time()
+    pending = pending_partitions(spark, transcripts_dir, index_dir)
+    if max_parts is not None:
+        pending = pending[:max_parts]
+    metrics: dict = {"pending_parts": len(pending), "n_turns": 0, "n_docs": 0}
+
+    if pending:
+        docmap_path = os.path.join(index_dir, "docmap")
+        # scrub partial writes from a previous crash (data written but lineage
+        # marker absent) so reruns are idempotent — the make-style contract:
+        # a partition without its marker is rebuilt from scratch (Makefile:57-66)
+        for p in pending:
+            for sub in ("segments", "docmap"):
+                d = os.path.join(index_dir, sub, f"src_part={p}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        start = 0
+        if _exists(docmap_path):
+            start = spark.read.parquet(docmap_path).agg(F.max("doc_id")).collect()[0][0] + 1
+
+        t = (
+            spark.read.option("basePath", transcripts_dir)
+            .parquet(*[os.path.join(transcripts_dir, f"part={p}") for p in pending])
+        )
+        turns = t.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+        docs = turns.groupBy("conv_id").agg(
+            F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
+            F.count("*").alias("n_turns"),
+            F.first("part").alias("src_part"),
+        )
+        # empty-after-tokenization docs are dropped entirely — the analog of the
+        # reference's empty-abstract drop (oa_jsonl.c:386-391)
+        docs = docs.withColumn("tokens", tokens_expr("document")).withColumn(
+            "doclen", F.size("tokens")
+        ).filter(F.col("doclen") > 0)
+        docs = assign_doc_ids(
+            docs.select("conv_id", "src_part", "n_turns", "doclen", "tokens"),
+            start=start,
+        ).persist()
+
+        tokens = (
+            docs.select("doc_id", "src_part", "doclen", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "src_part", "doclen", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        segments = build_segments(tokens, buckets=buckets, shard_docs=shard_docs)
+        seg_path = os.path.join(index_dir, "segments")
+        segments.write.mode("append").partitionBy("src_part").parquet(seg_path)
+
+        docs.select("doc_id", "conv_id", "doclen", "src_part").write.mode("append").partitionBy(
+            "src_part"
+        ).parquet(docmap_path)
+
+        per_part = {
+            r["src_part"]: r
+            for r in docs.groupBy("src_part")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_turns").alias("n_turns"),
+                F.countDistinct("conv_id").alias("n_convs"),
+            )
+            .collect()
+        }
+        docs.unpersist()
+        wall = time.time() - t0
+        # lineage written LAST: the per-partition commit marker
+        # (reference: `touch $@`, Makefile:66)
+        lineage_rows = [
+            (
+                int(p),
+                int(per_part[p]["n_convs"]) if p in per_part else 0,
+                int(per_part[p]["n_turns"]) if p in per_part else 0,
+                int(per_part[p]["n_docs"]) if p in per_part else 0,
+                float(wall / len(pending)),
+            )
+            for p in pending
+        ]
+        spark.createDataFrame(
+            lineage_rows, "src_part int, n_convs long, n_turns long, n_docs long, wall_sec double"
+        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
+            os.path.join(index_dir, "lineage")
+        )
+        metrics["n_turns"] = sum(r[2] for r in lineage_rows)
+        metrics["n_docs"] = sum(r[3] for r in lineage_rows)
+
+    if not skip_merge:
+        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs)
+
+    metrics["wall_sec"] = time.time() - t0
+    metrics["turns_per_sec"] = metrics["n_turns"] / metrics["wall_sec"] if metrics["n_turns"] else 0.0
+    return metrics
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> None:
+    """Global merge: segments -> postings/dictionary/stats (+ params.json).
+
+    Derived artifacts only — rerunning after any crash reproduces them from
+    segments + docmap (the `make recover` property).
+    """
+    seg_path = os.path.join(index_dir, "segments")
+    if not _exists(seg_path):
+        return
+    segments = spark.read.option("basePath", seg_path).parquet(seg_path)
+    postings = merge_segments(segments)
+    postings_path = os.path.join(index_dir, "postings")
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
+
+    merged = spark.read.option("basePath", postings_path).parquet(postings_path)
+    dictionary = merged.groupBy("term").agg(
+        F.sum("df").alias("df"), F.first("bucket").alias("bucket")
+    )
+    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
+
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    docmap.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+        F.sum("doclen").alias("total_tokens"),
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+
+    with open(os.path.join(index_dir, "params.json"), "w") as f:
+        json.dump(
+            {
+                "k1": K1,
+                "b": B_BM25,
+                "buckets": buckets,
+                "shard_docs": shard_docs,
+                "block_size": BLOCK_SIZE,
+                "tie_break": "score DESC, doc_id ASC",
+            },
+            f,
+        )

@@ -1,0 +1,73 @@
+"""Query path (SURVEY.md §3.2): text -> exact BM25 top-k over the index.
+
+Physical plan, mirroring the reference's query pipeline (embed → IVF probe →
+top-k → hydrate, /root/reference/README.md:16,28):
+
+1. tokenize the query (same tokenizer as build),
+2. look the terms up in `dictionary` (predicate-pushdown scan; result is
+   ≤ |query| rows collected to the driver — the analog of loading
+   params.json + coarse quantizer),
+3. scan `postings` with bucket-partition pruning + term predicate (only the
+   query terms' files/row-groups are read — the IVF-probe analog),
+4. per-shard exact scoring (block-max WAND or vectorized TAAT) in
+   applyInPandas — shards are disjoint doc ranges, so
+5. global TakeOrderedAndProject(k) then a broadcast hydration join against
+   `docmap` (the ids.parquet analog, Makefile:11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_pd
+from ..operators.wand import idf_of, make_shard_scorer
+
+
+class IndexReader:
+    """Caches the small index metadata driver-side; postings stay on disk."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "params.json")) as f:
+            self.params = json.load(f)
+        row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        self.postings = spark.read.option(
+            "basePath", os.path.join(index_dir, "postings")
+        ).parquet(os.path.join(index_dir, "postings"))
+        self.dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+
+    def lookup_terms(self, terms: list[str]) -> list[dict]:
+        if not terms:
+            return []
+        rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
+        return [r.asDict() for r in rows]
+
+    def query(self, text: str, k: int = 10, method: str = "bmw") -> DataFrame:
+        """-> DataFrame(doc_id, conv_id, score), already in final rank order."""
+        terms = sorted(set(tokenize_pd(pd.Series([text]))[0]))
+        entries = self.lookup_terms(terms)
+        if not entries:
+            return self.spark.createDataFrame([], "doc_id long, conv_id string, score double")
+        idfs = {e["term"]: idf_of(self.n_docs, int(e["df"])) for e in entries}
+        buckets = sorted({int(e["bucket"]) for e in entries})
+        cand = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs))
+        )
+        scorer = make_shard_scorer(
+            idfs, k, self.avgdl, k1=self.params["k1"], b=self.params["b"], method=method
+        )
+        per_shard = cand.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
+        topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        out = F.broadcast(topk).join(self.docmap.select("doc_id", "conv_id"), "doc_id")
+        return out.select("doc_id", "conv_id", "score").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )

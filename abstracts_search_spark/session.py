@@ -24,6 +24,15 @@ def build_spark(
     - Arrow on (every heavy per-row op is a vectorized pandas UDF).
     - UTC session TZ so DuckDB-oracle comparisons are stable.
     """
+    # make this package importable inside executor Python workers regardless
+    # of the driver's cwd (the spark-submit equivalent is --py-files; in
+    # local/client mode workers inherit the driver environment, so prepending
+    # the package parent to PYTHONPATH before the session starts is enough)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + existing if existing else "")
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
