@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk`` — brute-force exact cosine top-k: the baseline and oracle.
+  Dot products via ``zip_with`` + ``aggregate`` (JVM-side fold in element
+  order, float64 — matches DuckDB's list_dot_product on DOUBLE[] exactly).
+- ``ann_lsh_topk`` — the scale path: random-hyperplane LSH. Each vector gets a
+  sign-pattern bucket from `n_planes` fixed hyperplanes; the query probes only
+  its own bucket (plus Hamming-1 neighbors for recall). The hyperplanes are
+  seeded constants, so the whole pipeline is deterministic and the same plane
+  matrix can be embedded into an oracle SQL. At scale the bucketed table is
+  written partitioned by bucket → queries prune to a few files (the same
+  IVF-probe analogy as the postings buckets, SURVEY.md §4).
+
+The reference's FAISS-IVF index does exactly this job for embeddings
+(/root/reference/Makefile:24-39); these operators are that capability
+re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as float64, sequential element order (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k -> (vec_id, cos). TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplanes — fixed constants of the index."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit p = (vec · plane_p) >= 0."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    _to_double(vec),
+                    F.array(*[F.lit(float(w)) for w in planes[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(planes.shape[0])
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket (+Hamming-1).
+
+    Exact scoring within probed buckets; approximation is only in candidate
+    pruning. Deterministic for fixed (seed, n_planes).
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for p in range(n_planes):
+        if float(qv @ planes[p]) >= 0:
+            qsig |= 1 << p
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {qsig ^ (1 << p) for p in range(n_planes)}
+    bucketed = emb.withColumn("bucket", bucket_expr(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)

@@ -28,6 +28,57 @@ from ..functions.tokenize import tokenize_pd
 from ..operators.wand import idf_of, make_shard_scorer
 
 
+def indexed_topk_inmem(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    buckets: int = 8,
+    shard_docs: int = 256,
+    method: str = "bmw",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full indexed pipeline (segments → merge → WAND) without touching disk.
+
+    Used by the driver's flagship `entry()` and as an oracle-checked query:
+    the result must equal plain brute-force BM25 SQL — which is exactly what
+    the DuckDB oracle runs. -> (doc_id, score) in rank order.
+    """
+    from ..operators.bm25_brute import doc_tokens
+    from ..operators.postings import build_segments, merge_segments
+
+    spark = docs.sparkSession
+    terms = sorted(set(tokenize_pd(pd.Series([query_text]))[0]))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tokens = doc_tokens(docs, text_col=text_col, id_col=id_col).withColumn(
+        "src_part", F.lit(0)
+    )
+    stats = tokens.select("doc_id", "doclen").distinct().agg(
+        F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    segments = build_segments(tokens, buckets=buckets, shard_docs=shard_docs)
+    postings = merge_segments(segments)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    if not dfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idfs = {t: idf_of(n_docs, d) for t, d in dfs.items()}
+    scorer = make_shard_scorer(idfs, k, avgdl, method=method)
+    per_shard = (
+        postings.filter(F.col("term").isin(list(idfs)))
+        .groupBy("shard")
+        .applyInPandas(scorer, "doc_id long, score double")
+    )
+    return per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 class IndexReader:
     """Caches the small index metadata driver-side; postings stay on disk."""
 
