@@ -32,9 +32,15 @@ def doc_tokens(
 
     ``carry`` columns (e.g. src_part) are functionally dependent on doc_id and
     ride through the groupBy unchanged.
+
+    Tokenization uses the Arrow-vectorized pandas UDF — the Catalyst
+    tokens_expr is semantically identical (tested) but higher-order-function
+    lambdas evaluate interpreted (~ms/doc), so the UDF is the hot path.
     """
+    from ..functions.tokenize import tokenize_udf
+
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), *carry, tokens_expr(text_col).alias("tokens")
+        F.col(id_col).alias("doc_id"), *carry, tokenize_udf(text_col).alias("tokens")
     ).withColumn("doclen", F.size("tokens"))
     return (
         toks.select("doc_id", *carry, "doclen", F.explode("tokens").alias("term"))

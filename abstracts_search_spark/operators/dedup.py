@@ -32,13 +32,44 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _shingles_udf(n: int):
+    """Arrow-vectorized shingler: text -> distinct n-word shingles.
+
+    Chosen over the pure-Catalyst shingles_expr for hot paths: Spark evaluates
+    higher-order-function lambdas interpreted (~ms/doc), while the Python
+    regex + join path runs at ~µs/doc over Arrow batches. Semantics are
+    identical (same tokenizer, same ' '-joined shingles; distinct-set output).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.tokenize import _TOKEN_RE
+
+    def shingle_one(t: str) -> list[str]:
+        toks = [m.lower() for m in _TOKEN_RE.findall(t or "")]
+        return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's signature inference can't resolve for nested functions
+    def _run(texts):
+        return texts.map(shingle_one)
+
+    return pandas_udf(_run, T.ArrayType(T.StringType()))
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """-> (doc_id, shingle) distinct."""
+    """-> (doc_id, shingle) distinct per doc.
+
+    Repartitions the (small) doc rows first so the shingle + hashing stage
+    parallelizes even when the source is a single parquet file — at real scale
+    the scan has many splits and AQE coalesces this exchange away.
+    """
+    spark = df.sparkSession
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col), n))).alias("shingle"),
-        )
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(_shingles_udf(n)("_text")).alias("shingle"))
     )
 
 
@@ -77,6 +108,29 @@ def jaccard_pairs(
     return out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top)
 
 
+def _minhash_sig_cols(df: DataFrame, id_col: str, text_col: str, num_perm: int, n: int) -> DataFrame:
+    """-> (doc_id, sig_0..sig_{P-1}): one row per doc, P MinHash signatures.
+
+    Shape chosen for codegen + partial aggregation: explode distinct shingles
+    (one narrow pass), project P static md5 columns (whole-stage codegen — NO
+    higher-order functions, which Spark evaluates interpreted), then
+    groupBy(doc).min per column — the shuffle carries only the map-side
+    partial mins, one row per (partition, doc). sig_p = min md5(shingle||'#'||p),
+    identical to the DuckDB oracle.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(p)))).alias(f"h{p}")
+            for p in range(num_perm)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"sig_{p}") for p in range(num_perm)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,18 +138,10 @@ def minhash_signatures(
     num_perm: int = 12,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures as md5 hex strings -> (doc_id, perm, sig).
-
-    'Permutation' i is the keyed hash md5(shingle || '#' || i); the signature
-    is the lexicographic min — identical semantics in any engine with md5.
-    """
-    sh = _doc_shingles(df, id_col, text_col, n)
-    perms = sh.sparkSession.range(num_perm).select(F.col("id").cast("int").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min(F.md5(F.concat_ws("#", "shingle", "perm"))).alias("sig"))
-    )
+    """MinHash signatures as md5 hex strings -> (doc_id, perm, sig)."""
+    sigs = _minhash_sig_cols(df, id_col, text_col, num_perm, n)
+    arr = F.array(*[F.col(f"sig_{p}") for p in range(num_perm)])
+    return sigs.select("doc_id", F.posexplode(arr).alias("perm", "sig"))
 
 
 def minhash_lsh_pairs(
@@ -112,25 +158,22 @@ def minhash_lsh_pairs(
 
     rows-per-band r = num_perm/bands; P(candidate) = 1-(1-j^r)^bands.
     Buckets larger than `max_bucket` are dropped (boilerplate guard) — the
-    skew valve for pathological buckets at scale.
+    skew valve for pathological buckets at scale. The whole pipeline up to the
+    bucket self-join is a single narrow projection per doc.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, n)
-    banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    sigs = _minhash_sig_cols(df, id_col, text_col, num_perm, n)
+    band_arr = F.array(
+        *[
             F.md5(
                 F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
-                        lambda s: s.getField("sig"),
-                    ),
+                    "|", *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)]
                 )
-            ).alias("bucket")
-        )
+            )
+            for j in range(bands)
+        ]
     )
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "bucket"))
     guard = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz")).filter(
         (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
     )
@@ -179,15 +222,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", top: int = 20) -> DataFrame:
-    """Embedding-cosine near-dup: top most-similar pairs (brute, small-scale
-    oracle; the scale path is similarity.ann_lsh_topk's bucketing)."""
-    from .similarity import cosine_expr
+    """Embedding-cosine near-dup: exact top most-similar pairs via the blocked
+    GEMM path (similarity.cosine_pairs_blocked) — one float64 matmul per block
+    pair instead of a materialized quadratic pair table."""
+    from .similarity import cosine_pairs_blocked
 
-    v = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, F.col("a.vid") < F.col("b.vid")).select(
-        F.col("a.vid").alias("vec_a"),
-        F.col("b.vid").alias("vec_b"),
-        F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
-    )
-    return pairs.orderBy(F.desc("cos"), "vec_a", "vec_b").limit(top)
+    return cosine_pairs_blocked(emb, top=top, id_col=id_col, vec_col=vec_col)

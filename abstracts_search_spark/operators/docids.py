@@ -31,7 +31,9 @@ def assign_doc_ids(docs: DataFrame, start: int = 0, num_partitions: int | None =
     if num_partitions is None:
         num_partitions = max(docs.rdd.getNumPartitions(), 1)
     ranged = docs.repartitionByRange(num_partitions, "conv_id").sortWithinPartitions("conv_id")
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # persisted: the count job and the id-attach job both consume this exchange
+    # (callers pass a skinny projection, so the cached footprint is tiny)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
 
     counts = {r["_pid"]: r["n"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets: dict[int, int] = {}

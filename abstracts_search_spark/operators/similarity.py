@@ -60,6 +60,64 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    top: int = 20,
+    block: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine via blocked numpy matmul -> top pairs.
+
+    The scalable shape for exact quadratic similarity: vectors are tiled into
+    id-range blocks; each (i<=j) block pair becomes one applyInPandas group
+    that does a single float64 GEMM — no per-pair expression evaluation, no
+    materialized pair table. Replication factor is n_blocks/2 per side (data
+    inflates by B/2, compute stays the same O(n²·d) but runs at BLAS speed).
+    -> (vec_a, vec_b, cos) with cos rounded to 6 decimals,
+    (cos DESC, vec_a, vec_b) top `top`.
+    """
+    import pandas as pd
+
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        _to_double(F.col(vec_col)).alias("vec"),
+        (F.col(id_col) / block).cast("int").alias("blk"),
+    )
+    nblk = v.agg(F.max("blk")).collect()[0][0] + 1
+    spark = emb.sparkSession
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nblk) for j in range(nblk) if i <= j], "gi int, gj int"
+    )
+    left = v.join(F.broadcast(grid), v.blk == F.col("gi")).select(
+        "gi", "gj", F.lit(0).alias("side"), "vid", "vec"
+    )
+    right = v.join(F.broadcast(grid), v.blk == F.col("gj")).select(
+        "gi", "gj", F.lit(1).alias("side"), "vid", "vec"
+    )
+    both = left.union(right)
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0].sort_values("vid")
+        b = pdf[pdf["side"] == 1].sort_values("vid") if gi != gj else a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        ma = np.stack(a["vec"].to_numpy())
+        mb = np.stack(b["vec"].to_numpy())
+        # dot first, divide by the norm product after — the same operation
+        # order as the SQL oracle (modulo summation order inside the GEMM)
+        cos = (ma @ mb.T) / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1))
+        ia, ib = np.meshgrid(a["vid"].to_numpy(), b["vid"].to_numpy(), indexing="ij")
+        mask = ia < ib
+        return pd.DataFrame(
+            {"vec_a": ia[mask], "vec_b": ib[mask], "cos": np.round(cos[mask], 6)}
+        )
+
+    pairs = both.groupBy("gi", "gj").applyInPandas(gemm, "vec_a long, vec_b long, cos double")
+    return pairs.orderBy(F.desc("cos"), "vec_a", "vec_b").limit(top)
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     """Seeded random hyperplanes — fixed constants of the index."""
     rng = np.random.default_rng(seed)

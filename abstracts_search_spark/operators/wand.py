@@ -168,6 +168,54 @@ def taat_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: fl
     return [(int(cand[i]) + base, float(scores[i])) for i in order]
 
 
+def make_multi_scorer(
+    query_idfs: dict[int, dict[str, float]],
+    k: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B_BM25,
+):
+    """Batched scorer: decode each posting list ONCE per shard, score every
+    query that references it (vectorized TAAT per query). The throughput path
+    for query batches — one Spark job for the whole reference query set.
+    Returns an applyInPandas fn -> (query_id, doc_id, score) top-k per query.
+    """
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded: dict[str, tuple] = {}
+        base = int(pdf["first_doc"].min())
+        hi = int(pdf["last_doc"].max())
+        width = hi - base + 1
+        for r in pdf.to_dict("records"):
+            docs, tfs, dls = decode_posting_list(r)
+            decoded[r["term"]] = (docs, tfs, dls)
+        out_q, out_d, out_s = [], [], []
+        for qid, idfs in query_idfs.items():
+            acc = np.zeros(width, dtype=np.float64)
+            touched = np.zeros(width, dtype=bool)
+            hit = False
+            for term, idf in idfs.items():
+                got = decoded.get(term)
+                if got is None:
+                    continue
+                hit = True
+                docs, tfs, dls = got
+                idx = docs - base
+                acc += np.bincount(idx, weights=_contrib(idf, tfs, dls, k1, b, avgdl), minlength=width)
+                touched[idx] = True
+            if not hit:
+                continue
+            cand = np.flatnonzero(touched)
+            scores = acc[cand]
+            order = np.lexsort((cand, -scores))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend((cand[order] + base).tolist())
+            out_s.extend(scores[order].tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return score_shard
+
+
 def make_shard_scorer(idfs: dict[str, float], k: int, avgdl: float,
                       k1: float = K1, b: float = B_BM25, method: str = "bmw"):
     """Returns an applyInPandas function: one shard's posting rows -> top-k."""

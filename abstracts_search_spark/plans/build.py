@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .. import B_BM25, K1
 from ..codecs.postings import BLOCK_SIZE
-from ..functions.tokenize import tokens_expr
+from ..functions.tokenize import tokenize_udf
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import (
     DEFAULT_BUCKETS,
@@ -114,19 +114,27 @@ def build_index(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
             F.first("part").alias("src_part"),
-        )
-        # empty-after-tokenization docs are dropped entirely — the analog of the
-        # reference's empty-abstract drop (oa_jsonl.c:386-391)
-        docs = docs.withColumn("tokens", tokens_expr("document")).withColumn(
-            "doclen", F.size("tokens")
-        ).filter(F.col("doclen") > 0)
-        docs = assign_doc_ids(
-            docs.select("conv_id", "src_part", "n_turns", "doclen", "tokens"),
-            start=start,
         ).persist()
 
+        # docIDs are assigned on a SKINNY projection (conv_id + scalars) so the
+        # range shuffle never moves document payloads; empty-after-tokenization
+        # docs are dropped first — the analog of the reference's empty-abstract
+        # drop (oa_jsonl.c:386-391)
+        skinny = docs.select(
+            "conv_id",
+            "src_part",
+            "n_turns",
+            F.size(tokenize_udf("document")).alias("doclen"),
+        ).filter(F.col("doclen") > 0)
+        ids = assign_doc_ids(skinny, start=start).persist()
+
+        # one wide join of payloads to ids, then tokenize+explode in the same
+        # stage (tokens are never materialized or cached as arrays)
+        fat = docs.select("conv_id", "document").join(ids, "conv_id")
         tokens = (
-            docs.select("doc_id", "src_part", "doclen", F.explode("tokens").alias("term"))
+            fat.select(
+                "doc_id", "src_part", "doclen", F.explode(tokenize_udf("document")).alias("term")
+            )
             .groupBy("doc_id", "src_part", "doclen", "term")
             .agg(F.count("*").alias("tf"))
         )
@@ -134,13 +142,13 @@ def build_index(
         seg_path = os.path.join(index_dir, "segments")
         segments.write.mode("append").partitionBy("src_part").parquet(seg_path)
 
-        docs.select("doc_id", "conv_id", "doclen", "src_part").write.mode("append").partitionBy(
+        ids.select("doc_id", "conv_id", "doclen", "src_part").write.mode("append").partitionBy(
             "src_part"
         ).parquet(docmap_path)
 
         per_part = {
             r["src_part"]: r
-            for r in docs.groupBy("src_part")
+            for r in ids.groupBy("src_part")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_turns").alias("n_turns"),
@@ -149,6 +157,7 @@ def build_index(
             .collect()
         }
         docs.unpersist()
+        ids.unpersist()
         wall = time.time() - t0
         # lineage written LAST: the per-partition commit marker
         # (reference: `touch $@`, Makefile:66)

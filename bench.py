@@ -1,0 +1,136 @@
+"""Benchmark entry point (driver contract + BASELINE.md target metrics).
+
+Measures, on `local[$SPARK_GRAFT_CPUS]` (default 32):
+
+1. **index-build throughput** (the authoritative metric, BASELINE.json):
+   build the full inverted index over the deterministic `bench` transcripts
+   fixture (~20k convs / ~410k turns) → turns/sec.
+2. **query latency** over the 50-query reference set via block-max WAND.
+3. **headline operator queries** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1): BM25 brute + indexed, MinHash-LSH dedup, ANN.
+
+Prints ONE JSON line:
+{"metric": "bench_total", "value": <sec>, "unit": "sec",
+ "queries": {...per-step seconds...}, "sf": ...,
+ "build": {"n_turns":..., "wall_sec":..., "turns_per_sec":...},
+ "query_set": {"n": 50, "total_sec":..., "qps":...}}
+
+Run `python scripts/scaling_run.py` for the local[8]-vs-local[32] scaling
+evidence (two-cluster-size criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+
+    from abstracts_search_spark.session import build_spark
+    from abstracts_search_spark.sources.transcripts import SCALES, gen_queries, gen_transcripts
+    from abstracts_search_spark.plans.build import build_index
+    from abstracts_search_spark.plans.query import IndexReader
+
+    # fixture is deterministic → generate once, reuse across runs
+    tx_dir = os.path.join(_REPO, "data", "bench", f"transcripts_{bench_scale}")
+    if not os.path.exists(os.path.join(tx_dir, "part=0")):
+        print(f"generating {bench_scale} fixture...", file=sys.stderr)
+        gen_transcripts(tx_dir, scale=bench_scale, seed=42)
+
+    spark = build_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # --- 1. index build throughput -----------------------------------------
+    index_dir = tempfile.mkdtemp(prefix="bench_index_")
+    t0 = time.time()
+    metrics = build_index(spark, tx_dir, index_dir)
+    build_wall = time.time() - t0
+    n_turns = int(metrics["n_turns"])
+    timings["index_build"] = round(build_wall, 3)
+    build = {
+        "n_turns": n_turns,
+        "n_docs": metrics["n_docs"],
+        "wall_sec": round(build_wall, 3),
+        "turns_per_sec": round(n_turns / build_wall, 1),
+    }
+    print(f"build: {build}", file=sys.stderr)
+
+    # --- 2. reference query set via block-max WAND --------------------------
+    reader = IndexReader(spark, index_dir)
+    qset = gen_queries(n=50)
+    t0 = time.time()
+    n_rows = len(reader.query_many({qid: q for qid, q in qset}, k=10).collect())
+    qtotal = time.time() - t0
+    timings["query_set_50_batched"] = round(qtotal, 3)
+    # per-query latency sample (the interactive path: block-max WAND)
+    lat = []
+    for _, q in qset[:8]:
+        t0 = time.time()
+        reader.query(q, k=10).collect()
+        lat.append(time.time() - t0)
+    timings["query_single_avg"] = round(sum(lat) / len(lat), 3)
+    query_set = {
+        "n": len(qset),
+        "total_sec": round(qtotal, 3),
+        "qps": round(len(qset) / qtotal, 2),
+        "rows": n_rows,
+        "single_query_avg_sec": timings["query_single_avg"],
+    }
+    print(f"query_set: {query_set}", file=sys.stderr)
+
+    # --- 3. headline operator queries at sf_dir ----------------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "bm25_topk",
+        "bm25_topk_indexed",
+        "tokenize_tf",
+        "minhash_lsh_pairs",
+        "jaccard_pairs",
+        "ann_cosine_topk",
+        "embedding_dup_pairs",
+        "quality_score",
+        "fingerprint",
+    ):
+        t0 = time.time()
+        cnt = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]}s ({cnt} rows)", file=sys.stderr)
+
+    total = time.time() - t_all
+    spark.stop()
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    out = {
+        "metric": "index_build_turns_per_sec",
+        "value": build["turns_per_sec"],
+        "unit": "turns/sec",
+        "queries": timings,
+        "sf": float(sf_tag),
+        "cpus": cpus,
+        "bench_scale": bench_scale,
+        "build": build,
+        "query_set": query_set,
+        "total_sec": round(total, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

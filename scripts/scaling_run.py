@@ -1,0 +1,72 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the N-vs-4N-executor criterion is
+evidenced by running the SAME index build at two parallelism levels on the
+SAME input: local[8] vs local[32] (separate JVMs via subprocess — a Spark
+local master is fixed per JVM). Reports throughput at both plus
+
+    efficiency = (tps_32 / tps_8) / (32 / 8)
+
+and appends the result to BENCH_scaling.json. Target: >= 0.8.
+
+Usage: python scripts/scaling_run.py [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env.setdefault("SPARK_GRAFT_BENCH_SCALE", "bench")
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    results = {}
+    for cpus in (n_low, n_high):
+        print(f"=== local[{cpus}] ===", file=sys.stderr)
+        r = run_at(cpus)
+        results[cpus] = r
+        print(
+            f"local[{cpus}]: build {r['build']['turns_per_sec']} turns/sec, "
+            f"queries {r['query_set']['qps']} qps",
+            file=sys.stderr,
+        )
+    tps_low = results[n_low]["build"]["turns_per_sec"]
+    tps_high = results[n_high]["build"]["turns_per_sec"]
+    eff = (tps_high / tps_low) / (n_high / n_low)
+    out = {
+        "n_low": n_low,
+        "n_high": n_high,
+        "turns_per_sec_low": tps_low,
+        "turns_per_sec_high": tps_high,
+        "speedup": round(tps_high / tps_low, 3),
+        "scaling_efficiency": round(eff, 3),
+        "query_qps_low": results[n_low]["query_set"]["qps"],
+        "query_qps_high": results[n_high]["query_set"]["qps"],
+        "bench_scale": results[n_high].get("bench_scale"),
+    }
+    with open(os.path.join(_REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
