@@ -47,6 +47,13 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_pd(texts)
 
 
+@pandas_udf(T.IntegerType())
+def doclen_udf(texts: pd.Series) -> pd.Series:
+    """Token count only — avoids materializing the token array through Arrow
+    when just the length is needed (docID gating, docmap doclen)."""
+    return texts.str.count(TOKEN_PATTERN).fillna(0).astype("int32")
+
+
 def tokens_expr(col: Column | str) -> Column:
     """Catalyst-only equivalent of :func:`tokenize_udf` (verified equal)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -28,10 +28,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codecs.postings import BLOCK_SIZE, decode_posting_list, encode_posting_list
+from ..codecs.postings import BLOCK_SIZE
 
 DEFAULT_BUCKETS = 64
-DEFAULT_SHARD_DOCS = 1 << 17
+# docID-range tile per shard: bounds merge-group width AND sets the
+# parallelism floor of merge + query scoring (one group per (bucket, shard));
+# 16k docs/shard keeps even a 100k-doc corpus multi-shard while a hot term
+# still packs ~16k postings per row
+DEFAULT_SHARD_DOCS = 1 << 14
 
 _POSTING_COLS = (
     "term string, df long, first_doc long, last_doc long, "
@@ -48,21 +52,54 @@ def bucket_of(term_col, buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(buckets)).cast("int")
 
 
+_EMPTY_COLS = (
+    "term df first_doc last_doc doc_bin tf_bin dl_bin block_last block_max_tf "
+    "block_min_dl doc_offs tf_offs dl_offs n_blocks"
+).split()
+
+
+def _encode_sorted(codes, uniques, docs, tfs, dls, head: dict) -> pd.DataFrame:
+    """codes/docs/tfs/dls sorted by (code, doc) -> one encoded row per code.
+    All lists of a group are encoded in ONE vectorized codec pass
+    (codecs/multilist.py) — per-list Python work is just byte slicing."""
+    from ..codecs.multilist import encode_posting_lists
+
+    if len(codes) == 0:
+        out = pd.DataFrame({c: [] for c in _EMPTY_COLS})
+    else:
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
+        enc = encode_posting_lists(docs, tfs, dls, bounds)
+        out = pd.DataFrame({"term": uniques[codes[bounds[:-1]]], **enc})
+    for k, v in head.items():
+        out[k] = v
+    return out
+
+
 def _emit_rows(term_arr, doc_arr, tf_arr, dl_arr, head: dict) -> pd.DataFrame:
-    """Encode one posting row per term; inputs sorted by (term, doc)."""
+    """Encode one posting row per term; tf pre-aggregated per (term, doc)."""
+    codes, uniques = pd.factorize(term_arr, sort=False)
+    order = np.lexsort((doc_arr, codes))
+    return _encode_sorted(
+        codes[order], uniques, doc_arr[order], tf_arr[order], dl_arr[order], head
+    )
+
+
+def _emit_rows_counting(term_arr, doc_arr, dl_arr, head: dict) -> pd.DataFrame:
+    """Like _emit_rows but over RAW token occurrences: computes tf by
+    run-length-encoding equal (term, doc) pairs after the lexsort — the
+    map-side tf aggregation happens here instead of a separate groupBy
+    shuffle (one exchange of the token stream instead of two)."""
     codes, uniques = pd.factorize(term_arr, sort=False)
     order = np.lexsort((doc_arr, codes))
     codes, docs = codes[order], doc_arr[order]
-    tfs, dls = tf_arr[order], dl_arr[order]
-    bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
-    rows = []
-    for i in range(len(bounds) - 1):
-        s, e = bounds[i], bounds[i + 1]
-        enc = encode_posting_list(docs[s:e], tfs[s:e], dls[s:e])
-        enc["term"] = uniques[codes[s]]
-        enc.update(head)
-        rows.append(enc)
-    return pd.DataFrame(rows)
+    dls = dl_arr[order]
+    new_pair = np.empty(len(codes), dtype=bool)
+    if len(codes):
+        new_pair[0] = True
+        np.logical_or(np.diff(codes) != 0, np.diff(docs) != 0, out=new_pair[1:])
+    starts = np.flatnonzero(new_pair)
+    tfs = np.diff(np.concatenate([starts, [len(codes)]]))
+    return _encode_sorted(codes[starts], uniques, docs[starts], tfs, dls[starts], head)
 
 
 def build_segments(
@@ -95,6 +132,151 @@ def build_segments(
     )
 
 
+def build_segments_raw(
+    token_occurrences: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> DataFrame:
+    """Segment build over RAW token occurrences (src_part, doc_id, doclen, term)
+    — tf is counted inside the grouped UDF (run-length encode after lexsort),
+    so the token stream crosses exactly ONE exchange. Output ≡ build_segments
+    over pre-aggregated tf rows (tested)."""
+    keyed = token_occurrences.withColumn("bucket", bucket_of(F.col("term"), buckets)).withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long")
+    )
+
+    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
+        return _emit_rows_counting(
+            pdf["term"].to_numpy(),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["doclen"].to_numpy(np.int64),
+            {"src_part": src_part, "bucket": bucket, "shard": shard},
+        )
+
+    return keyed.groupBy("src_part", "bucket", "shard").applyInPandas(
+        build_group, schema=SEGMENT_SCHEMA
+    )
+
+
+_PACKED_DOC_SCHEMA = (
+    "src_part int, doc_id long, doclen int, "
+    "bks array<int>, tslices array<array<string>>, fslices array<array<int>>"
+)
+
+
+def crc_bucket(term: str, buckets: int) -> int:
+    """Python-side bucket function (zlib.crc32). The bucket is an internal
+    partitioning key: it is DEFINED here at segment-build time, stored in
+    segments/postings/dictionary, and only ever read back — no JVM
+    recomputation anywhere, so no cross-engine hash parity is needed. It just
+    has to be deterministic across incremental batches."""
+    import zlib
+
+    return zlib.crc32(term.encode()) % buckets
+
+
+def pack_doc_tokens(
+    docs: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+    text_col: str = "document",
+) -> DataFrame:
+    """docs(doc_id, src_part, doclen, <text_col>) -> (doc, bucket)-packed rows
+    (src_part, bucket, shard, doc_id, doclen, terms array, tfs array).
+
+    The shuffle-compression stage: tokenize + per-doc tf-count + bucket
+    assignment happen in ONE Arrow pass emitting a single nested row per doc
+    (Counter + dict-cached crc32 — ~100µs/doc); the cheap fan-out to
+    (doc, bucket) granularity is a codegen'd JVM arrays_zip+explode. The
+    exchange that follows moves ~tokens/12 packed rows instead of one row per
+    token occurrence — at 100 TB the token-stream shuffle is the single
+    largest data movement of the build, and per-row shuffle overhead on it
+    dominates everything else.
+    """
+    from typing import Iterator
+
+    from ..functions.tokenize import _TOKEN_RE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        from collections import Counter
+
+        bucket_cache: dict[str, int] = {}
+        cache_get = bucket_cache.get
+
+        for pdf in batches:
+            rows_bks, rows_ts, rows_fs = [], [], []
+            keep = []
+            for i, text in enumerate(pdf[text_col]):
+                toks = [m.lower() for m in _TOKEN_RE.findall(text or "")]
+                if not toks:
+                    continue
+                by_bucket: dict[int, tuple[list, list]] = {}
+                for t, n in Counter(toks).items():
+                    b = cache_get(t)
+                    if b is None:
+                        b = zlib.crc32(t.encode()) % buckets
+                        bucket_cache[t] = b
+                    slot = by_bucket.get(b)
+                    if slot is None:
+                        slot = ([], [])
+                        by_bucket[b] = slot
+                    slot[0].append(t)
+                    slot[1].append(n)
+                keep.append(i)
+                rows_bks.append(list(by_bucket.keys()))
+                rows_ts.append([v[0] for v in by_bucket.values()])
+                rows_fs.append([v[1] for v in by_bucket.values()])
+            base = pdf.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "src_part": base["src_part"].to_numpy(),
+                    "doc_id": base["doc_id"].to_numpy(),
+                    "doclen": base["doclen"].to_numpy(),
+                    "bks": rows_bks,
+                    "tslices": rows_ts,
+                    "fslices": rows_fs,
+                }
+            )
+
+    per_doc = docs.mapInPandas(run, schema=_PACKED_DOC_SCHEMA)
+    z = F.explode(F.arrays_zip("bks", "tslices", "fslices")).alias("z")
+    return per_doc.select("src_part", "doc_id", "doclen", z).select(
+        "src_part",
+        F.col("z.bks").alias("bucket"),
+        (F.col("doc_id") / F.lit(shard_docs)).cast("long").alias("shard"),
+        "doc_id",
+        "doclen",
+        F.col("z.tslices").alias("terms"),
+        F.col("z.fslices").alias("tfs"),
+    )
+
+
+def build_segments_packed(packed: DataFrame) -> DataFrame:
+    """Packed (doc, bucket) token groups -> encoded segment rows.
+
+    groupBy(src_part, bucket, shard) over packed rows; inside the UDF the
+    arrays are flattened with numpy (concatenate/repeat — no per-token Python)
+    and encoded per term. Output ≡ build_segments_raw (tested).
+    """
+
+    def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
+        lens = pdf["terms"].map(len).to_numpy(np.int64)
+        terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+        tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+        dls = np.repeat(pdf["doclen"].to_numpy(np.int64), lens)
+        return _emit_rows(
+            terms, doc_ids, tfs, dls, {"src_part": src_part, "bucket": bucket, "shard": shard}
+        )
+
+    return packed.groupBy("src_part", "bucket", "shard").applyInPandas(
+        build_group, schema=SEGMENT_SCHEMA
+    )
+
+
 def merge_segments(segments: DataFrame) -> DataFrame:
     """segment rows -> merged postings, one row per (bucket, shard, term).
 
@@ -105,19 +287,21 @@ def merge_segments(segments: DataFrame) -> DataFrame:
     """
 
     def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs.multilist import decode_posting_lists
+
         bucket, shard = int(key[0]), int(key[1])
-        docs_l, tfs_l, dls_l, terms_l = [], [], [], []
-        for row in pdf.itertuples(index=False):
-            d, t, dl = decode_posting_list(row._asdict())
-            docs_l.append(d)
-            tfs_l.append(t)
-            dls_l.append(dl)
-            terms_l.append(np.repeat(row.term, d.shape[0]))
-        return _emit_rows(
-            np.concatenate(terms_l),
-            np.concatenate(docs_l),
-            np.concatenate(tfs_l),
-            np.concatenate(dls_l),
+        dfs = pdf["df"].to_numpy(np.int64)
+        docs, tfs, dls, _ = decode_posting_lists(
+            [bytes(b) for b in pdf["doc_bin"]],
+            [bytes(b) for b in pdf["tf_bin"]],
+            [bytes(b) for b in pdf["dl_bin"]],
+            dfs,
+        )
+        row_codes, uniques = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        codes = np.repeat(row_codes, dfs)
+        order = np.lexsort((docs, codes))
+        return _encode_sorted(
+            codes[order], uniques, docs[order], tfs[order], dls[order],
             {"bucket": bucket, "shard": shard},
         )
 

@@ -35,13 +35,14 @@ from pyspark.sql import functions as F
 
 from .. import B_BM25, K1
 from ..codecs.postings import BLOCK_SIZE
-from ..functions.tokenize import tokenize_udf
+from ..functions.tokenize import doclen_udf
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import (
     DEFAULT_BUCKETS,
     DEFAULT_SHARD_DOCS,
-    build_segments,
+    build_segments_packed,
     merge_segments,
+    pack_doc_tokens,
 )
 
 
@@ -110,41 +111,50 @@ def build_index(
         )
         turns = t.filter(F.col("text").isNotNull() & (F.col("text") != ""))
         ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+        # doclen rides along from assembly: token counts are additive across
+        # space-joined turns (the separator can never merge two tokens), so
+        # sum(per-turn count) == count(document) — saves a full re-scan of the
+        # assembled documents later
         docs = turns.groupBy("conv_id").agg(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
             F.first("part").alias("src_part"),
+            F.sum(doclen_udf("text")).cast("int").alias("doclen"),
         ).persist()
 
         # docIDs are assigned on a SKINNY projection (conv_id + scalars) so the
         # range shuffle never moves document payloads; empty-after-tokenization
         # docs are dropped first — the analog of the reference's empty-abstract
         # drop (oa_jsonl.c:386-391)
-        skinny = docs.select(
-            "conv_id",
-            "src_part",
-            "n_turns",
-            F.size(tokenize_udf("document")).alias("doclen"),
-        ).filter(F.col("doclen") > 0)
+        skinny = docs.select("conv_id", "src_part", "n_turns", "doclen").filter(
+            F.col("doclen") > 0
+        )
         ids = assign_doc_ids(skinny, start=start).persist()
 
-        # one wide join of payloads to ids, then tokenize+explode in the same
-        # stage (tokens are never materialized or cached as arrays)
+        # one wide join of payloads to ids; tokenize + per-doc tf + bucketing
+        # happen in ONE Arrow pass (pack_doc_tokens), so the exchange into the
+        # segment builder moves packed (doc, bucket) array rows instead of one
+        # row per token occurrence
         fat = docs.select("conv_id", "document").join(ids, "conv_id")
-        tokens = (
-            fat.select(
-                "doc_id", "src_part", "doclen", F.explode(tokenize_udf("document")).alias("term")
-            )
-            .groupBy("doc_id", "src_part", "doclen", "term")
-            .agg(F.count("*").alias("tf"))
+        packed = pack_doc_tokens(
+            fat.select("doc_id", "src_part", "doclen", "document"),
+            buckets=buckets,
+            shard_docs=shard_docs,
         )
-        segments = build_segments(tokens, buckets=buckets, shard_docs=shard_docs)
+        segments = build_segments_packed(packed)
         seg_path = os.path.join(index_dir, "segments")
-        segments.write.mode("append").partitionBy("src_part").parquet(seg_path)
+        # co-partition the write with the directory layout: one file per
+        # src_part dir instead of n_tasks × n_parts small files — file-commit
+        # and later scan-planning are driver-serial, so file count is a direct
+        # serial cost (the reference controls file layout the same way:
+        # --shard-size, /root/reference/Makefile:48)
+        segments.repartition("src_part").write.mode("append").partitionBy("src_part").parquet(
+            seg_path
+        )
 
-        ids.select("doc_id", "conv_id", "doclen", "src_part").write.mode("append").partitionBy(
+        ids.select("doc_id", "conv_id", "doclen", "src_part").repartition(
             "src_part"
-        ).parquet(docmap_path)
+        ).write.mode("append").partitionBy("src_part").parquet(docmap_path)
 
         per_part = {
             r["src_part"]: r
@@ -204,7 +214,12 @@ def merge_index(
     segments = spark.read.option("basePath", seg_path).parquet(seg_path)
     postings = merge_segments(segments)
     postings_path = os.path.join(index_dir, "postings")
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
+    # term-sorted within each bucket file: parquet row-group min/max stats on
+    # `term` let query-time term predicates prune row groups (the within-file
+    # analog of bucket partition pruning)
+    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(postings_path)
 
     merged = spark.read.option("basePath", postings_path).parquet(postings_path)
     dictionary = merged.groupBy("term").agg(
