@@ -1,0 +1,84 @@
+"""spark-submit entry point (north_rule: `spark-submit --py-files`).
+
+    python scripts/make_pyfiles.py                     # -> dist/abstracts_search_spark.zip
+    spark-submit --py-files dist/abstracts_search_spark.zip \
+        -- abstracts_search_spark/cli.py build --transcripts DIR --index DIR
+
+Subcommands mirror the reference Makefile targets (/root/reference/Makefile):
+`build` ≙ make all (incremental ingest + fill), `stream` ≙ the same via
+Structured Streaming checkpoints, `tune` ≙ make tune (Makefile:31-32),
+`query` ≙ the query path (README.md:16,28).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="abstracts_search_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="incremental index build (anti-join vs lineage)")
+    b.add_argument("--transcripts", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--shard-docs", type=int, default=1 << 14)
+    b.add_argument("--max-parts", type=int, default=None)
+
+    s = sub.add_parser("stream", help="incremental build via Structured Streaming")
+    s.add_argument("--transcripts", required=True)
+    s.add_argument("--index", required=True)
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--shard-docs", type=int, default=1 << 14)
+
+    t = sub.add_parser("tune", help="sweep query params -> params.json")
+    t.add_argument("--index", required=True)
+
+    q = sub.add_parser("query", help="top-k BM25 query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--method", choices=["bmw", "taat"], default=None)
+
+    args = p.parse_args(argv)
+
+    from abstracts_search_spark.session import build_spark
+
+    spark = build_spark(f"ass-{args.cmd}")
+    try:
+        if args.cmd == "build":
+            from abstracts_search_spark.plans.build import build_index
+
+            m = build_index(
+                spark, args.transcripts, args.index,
+                buckets=args.buckets, shard_docs=args.shard_docs, max_parts=args.max_parts,
+            )
+            print(json.dumps(m))
+        elif args.cmd == "stream":
+            from abstracts_search_spark.streaming.incremental import stream_build
+
+            print(json.dumps(stream_build(
+                spark, args.transcripts, args.index,
+                buckets=args.buckets, shard_docs=args.shard_docs,
+            )))
+        elif args.cmd == "tune":
+            from abstracts_search_spark.plans.tune import tune_index
+
+            print(json.dumps(tune_index(spark, args.index)))
+        elif args.cmd == "query":
+            from abstracts_search_spark.plans.query import IndexReader
+
+            reader = IndexReader(spark, args.index)
+            rows = reader.query(args.text, k=args.k, method=args.method).collect()
+            for r in rows:
+                print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,8 +102,13 @@ class IndexReader:
         rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
         return [r.asDict() for r in rows]
 
-    def query(self, text: str, k: int = 10, method: str = "bmw") -> DataFrame:
-        """-> DataFrame(doc_id, conv_id, score), already in final rank order."""
+    def query(self, text: str, k: int = 10, method: str | None = None) -> DataFrame:
+        """-> DataFrame(doc_id, conv_id, score), already in final rank order.
+
+        ``method`` defaults to the tuned value in params.json (plans/tune.py),
+        falling back to block-max WAND.
+        """
+        method = method or self.params.get("method", "bmw")
         terms = sorted(set(tokenize_pd(pd.Series([text]))[0]))
         entries = self.lookup_terms(terms)
         if not entries:
