@@ -148,6 +148,75 @@ def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return out.cast("int")
 
 
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH-bucketed embedding table, partitioned by bucket.
+
+    The on-disk analog of the reference's IVF fill (/root/reference/
+    Makefile:24-25): vectors grouped into inverted lists by coarse bucket so a
+    query reads only its probed buckets' FILES (partition pruning), not just
+    filters them post-scan. params sidecar records the plane seed.
+    """
+    import json
+    import os
+
+    planes = hyperplanes(_dim_of(emb, vec_col), n_planes, seed)
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    bucketed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    with open(os.path.join(out_dir, "ann_params.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "seed": seed, "dim": int(planes.shape[1])}, f)
+
+
+def ann_index_topk(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Query the persisted ANN index: bucket partition pruning + exact cosine
+    within probed buckets -> (vec_id, cos)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "ann_params.json")) as f:
+        p = json.load(f)
+    planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i in range(p["n_planes"]):
+        if float(qv @ planes[i]) >= 0:
+            qsig |= 1 << i
+    probe = {qsig} | (
+        {qsig ^ (1 << i) for i in range(p["n_planes"])} if probe_hamming >= 1 else set()
+    )
+    vectors = spark.read.option("basePath", os.path.join(out_dir, "vectors")).parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    cand = vectors.filter(F.col("bucket").isin(sorted(probe)))  # partition pruning
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        "vec_id", F.round(cosine_expr(F.col("embedding"), q), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    return len(emb.select(vec_col).first()[0])
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -166,6 +166,16 @@ def build_index(
             )
             .collect()
         }
+        # per-partition index metrics from the segments just written (cheap:
+        # compact encoded rows, one small agg job) — north_rule "lineage + metrics"
+        seg_stats = {
+            r["src_part"]: r
+            for r in spark.read.option("basePath", seg_path)
+            .parquet(*[os.path.join(seg_path, f"src_part={p}") for p in pending])
+            .groupBy("src_part")
+            .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
+            .collect()
+        }
         docs.unpersist()
         ids.unpersist()
         wall = time.time() - t0
@@ -177,12 +187,16 @@ def build_index(
                 int(per_part[p]["n_convs"]) if p in per_part else 0,
                 int(per_part[p]["n_turns"]) if p in per_part else 0,
                 int(per_part[p]["n_docs"]) if p in per_part else 0,
+                int(seg_stats[p]["n_postings"]) if p in seg_stats else 0,
+                int(seg_stats[p]["n_term_rows"]) if p in seg_stats else 0,
                 float(wall / len(pending)),
             )
             for p in pending
         ]
         spark.createDataFrame(
-            lineage_rows, "src_part int, n_convs long, n_turns long, n_docs long, wall_sec double"
+            lineage_rows,
+            "src_part int, n_convs long, n_turns long, n_docs long, "
+            "n_postings long, n_term_rows long, wall_sec double",
         ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
             os.path.join(index_dir, "lineage")
         )

@@ -82,7 +82,7 @@ def indexed_topk_inmem(
 class IndexReader:
     """Caches the small index metadata driver-side; postings stay on disk."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, max_cached_terms: int = 1_000_000):
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "params.json")) as f:
@@ -95,10 +95,25 @@ class IndexReader:
         ).parquet(os.path.join(index_dir, "postings"))
         self.dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+        # small vocabularies are cached driver-side so term lookup costs zero
+        # Spark jobs per query (the reference holds its coarse quantizer in
+        # memory the same way); huge vocabularies fall back to a pushed-down
+        # dictionary scan per query
+        self._dict_cache: dict[str, tuple[int, int]] | None = None
+        if self.dictionary.count() <= max_cached_terms:
+            self._dict_cache = {
+                r["term"]: (int(r["df"]), int(r["bucket"])) for r in self.dictionary.collect()
+            }
 
     def lookup_terms(self, terms: list[str]) -> list[dict]:
         if not terms:
             return []
+        if self._dict_cache is not None:
+            return [
+                {"term": t, "df": self._dict_cache[t][0], "bucket": self._dict_cache[t][1]}
+                for t in terms
+                if t in self._dict_cache
+            ]
         rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
         return [r.asDict() for r in rows]
 
