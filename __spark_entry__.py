@@ -33,6 +33,21 @@ from abstracts_search_spark.sources.transcripts import gen_transcripts
 _REPO = os.path.dirname(os.path.abspath(__file__))
 FIX_DIR = os.path.join(_REPO, "data", "fixtures", "transcripts_small")
 
+
+def _ensure_shipped(spark: SparkSession) -> SparkSession:
+    """Make the engine importable in executor Python workers even when the
+    caller created the SparkSession (the driver harness does): ship the
+    package zip via addPyFile once per session. Equivalent to
+    `spark-submit --py-files dist/abstracts_search_spark.zip`."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_ass_shipped", False):
+        sys.path.insert(0, os.path.join(_REPO, "scripts"))
+        from make_pyfiles import make_zip
+
+        sc.addPyFile(make_zip())
+        sc._ass_shipped = True
+    return spark
+
 BM25_QUERY = "spark query join"
 BM25_HOT_QUERY = "table row scan value"
 ANN_K = 10
@@ -63,6 +78,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full indexed pipeline (tokenize → segments → merge →
     block-max WAND) over sf0.001 documents."""
+    _ensure_shipped(spark)
     docs = _load(spark, "/root/testdata/sf0.001", "documents")
     return indexed_topk_inmem(docs, BM25_QUERY, k=10, id_col="doc_id", text_col="text")
 
@@ -219,8 +235,19 @@ def _q_frame_sample(spark, sf_dir):
     return frame_sample(gen_fake_media(spark, 64), every_ms=1000)
 
 
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_filter": _q_lang_filter,
         "tokenize_tf": _q_tokenize_tf,
         "term_df": _q_term_df,
