@@ -490,4 +490,23 @@ SELECT doc_id,
     md5(array_to_string(t, ' '))) AS fp
 FROM toksl
 """,
+        "simhash64": _simhash_sql(),
     }
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h64 >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOK.format(col='text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h64 FROM tf),
+b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM b
+"""

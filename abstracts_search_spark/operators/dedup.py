@@ -192,33 +192,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tokens -> (doc_id, simhash).
+SIMHASH_BITS = 60  # 15 md5 hex chars — fits signed int64 in every engine
 
-    Bit j of the hash of token t is taken from xxhash64(t); the document bit j
-    is sign(Σ_t tf·(2·bit_j(t)−1)). Engine-internal (xxhash64 has no DuckDB
-    twin), so its driver check is rows-only; correctness is unit-tested.
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over tokens -> (doc_id, simhash).
+
+    Bit j of token t comes from the first 15 hex chars of md5(t) (engine-
+    portable); the document bit j is sign(Σ_t tf·(2·bit_j(t)−1)). Exact
+    DuckDB oracle in __spark_entry__ (generated SQL, same md5 bit source).
     """
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("term"))
+    h = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
     bits = h.select(
         "doc_id",
-        "tf",
         *[
             (F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ],
     )
-    sums = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)])
-    sim = sums.select(
+    sums = bits.groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(SIMHASH_BITS)])
+    return sums.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(63)],
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    return sim
+
+
+# backwards-compat alias (the driver query key is simhash64)
+simhash64 = simhash
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", top: int = 20) -> DataFrame:

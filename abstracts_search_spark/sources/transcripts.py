@@ -32,6 +32,7 @@ SCALES = {
     "small": Scale(n_convs=500, n_parts=4),
     "bench": Scale(n_convs=20_000, n_parts=16),
     "bench4x": Scale(n_convs=80_000, n_parts=32),
+    "bench16x": Scale(n_convs=320_000, n_parts=64),
 }
 
 # ~200 common heads get Zipf-weighted high mass (hot terms), the tail is
