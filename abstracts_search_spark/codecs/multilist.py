@@ -118,14 +118,18 @@ def encode_posting_lists(
         out["block_last"].append(block_last[bs:be])
         out["block_max_tf"].append(block_max_tf[bs:be])
         out["block_min_dl"].append(block_min_dl[bs:be])
+        # rebase in int64 FIRST, then narrow: per-list relative offsets always
+        # fit int32 (a single list is < 2 GiB), but the group-absolute cum
+        # offsets can exceed 2^31 when one (bucket, shard) group's concatenated
+        # stream does — narrowing before subtraction would silently overflow
         out["doc_offs"].append(
-            np.concatenate([doc_cum[starts_t], doc_cum[e : e + 1]]).astype(np.int32) - np.int32(doc_cum[s])
+            (np.concatenate([doc_cum[starts_t], doc_cum[e : e + 1]]) - doc_cum[s]).astype(np.int32)
         )
         out["tf_offs"].append(
-            np.concatenate([tf_cum[starts_t], tf_cum[e : e + 1]]).astype(np.int32) - np.int32(tf_cum[s])
+            (np.concatenate([tf_cum[starts_t], tf_cum[e : e + 1]]) - tf_cum[s]).astype(np.int32)
         )
         out["dl_offs"].append(
-            np.concatenate([dl_cum[starts_t], dl_cum[e : e + 1]]).astype(np.int32) - np.int32(dl_cum[s])
+            (np.concatenate([dl_cum[starts_t], dl_cum[e : e + 1]]) - dl_cum[s]).astype(np.int32)
         )
     return out
 

@@ -29,7 +29,9 @@ def assign_doc_ids(docs: DataFrame, start: int = 0, num_partitions: int | None =
     docmap max (SURVEY.md §3.3 resume semantics).
     """
     if num_partitions is None:
-        num_partitions = max(docs.rdd.getNumPartitions(), 1)
+        # defaultParallelism, not docs.rdd.getNumPartitions(): the latter
+        # forces an RDD conversion of the logical plan just to count splits
+        num_partitions = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = docs.repartitionByRange(num_partitions, "conv_id").sortWithinPartitions("conv_id")
     # persisted: the count job and the id-attach job both consume this exchange
     # (callers pass a skinny projection, so the cached footprint is tiny)

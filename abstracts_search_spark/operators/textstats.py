@@ -54,7 +54,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
-    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0)"))
+    n_punct = F.size(F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[^A-Za-z0-9 ]', 0)"))
     diversity = F.when(n > 0, n_distinct.cast("double") / n).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
@@ -73,9 +73,11 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     txt = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.size(F.filter(F.split(txt, "\\s+"), lambda t: t != ""))
     alnum = F.size(tokens_expr(text_col))
-    alpha_runs = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+', 0)"))
-    digits = F.size(F.expr(f"regexp_extract_all({text_col}, '[0-9]', 0)"))
-    other = F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9 ]', 0)"))
+    # regexp over the coalesced text: F.size(NULL) is -1, which would turn a
+    # NULL document into bpe_pieces = -3 while the DuckDB oracle returns 0
+    alpha_runs = F.size(F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[A-Za-z]+', 0)"))
+    digits = F.size(F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[0-9]', 0)"))
+    other = F.size(F.expr(f"regexp_extract_all(coalesce({text_col}, ''), '[^A-Za-z0-9 ]', 0)"))
     return df.select(
         F.col(id_col),
         ws.cast("long").alias("ws_tokens"),

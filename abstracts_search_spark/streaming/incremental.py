@@ -19,12 +19,19 @@ partition file, matching the reference's assumption that one
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 from pyspark.sql import SparkSession
 
 from ..plans.build import merge_index
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import DEFAULT_BUCKETS, DEFAULT_SHARD_DOCS
+
+# streaming epochs are namespaced into their own src_part range so they can
+# never collide with batch-path part numbers (directory-derived small ints)
+# when both build modes write the same index_dir
+STREAM_PART_BASE = 1_000_000
 
 
 def stream_build(
@@ -58,6 +65,16 @@ def stream_build(
     n_batches = {"n": 0}
 
     def process_batch(batch_df, epoch_id: int) -> None:
+        t0 = time.time()
+        src_part = STREAM_PART_BASE + int(epoch_id)
+        # foreachBatch is at-least-once: a crash after the appends below but
+        # before the checkpoint commit replays this epoch. Scrub any partial
+        # output of the same epoch first (mirrors build_index's pending-part
+        # scrub) so replays are idempotent instead of double-appending.
+        for sub in ("segments", "docmap"):
+            d = os.path.join(index_dir, sub, f"src_part={src_part}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
         turns = batch_df.filter(F.col("text").isNotNull() & (F.col("text") != ""))
         if turns.isEmpty():
             return
@@ -67,7 +84,7 @@ def stream_build(
             F.count("*").alias("n_turns"),
             F.sum(doclen_udf("text")).cast("int").alias("doclen"),
         ).filter(F.col("doclen") > 0)
-        docs = docs.withColumn("src_part", F.lit(int(epoch_id)))
+        docs = docs.withColumn("src_part", F.lit(src_part))
 
         docmap_path = os.path.join(index_dir, "docmap")
         start = 0
@@ -91,7 +108,39 @@ def stream_build(
         ids.select("doc_id", "conv_id", "doclen", "src_part").repartition("src_part").write.mode(
             "append"
         ).partitionBy("src_part").parquet(docmap_path)
+        agg = ids.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_turns").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        ).collect()[0]
+        seg = (
+            spark.read.option("basePath", os.path.join(index_dir, "segments"))
+            .parquet(os.path.join(index_dir, "segments", f"src_part={src_part}"))
+            .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
+            .collect()[0]
+        )
         ids.unpersist()
+        # lineage LAST = per-epoch commit marker, same contract as the batch
+        # path; a mixed batch+stream index_dir now shares one lineage table
+        # with disjoint src_part namespaces, so neither mode re-ingests or
+        # collides with the other's partitions
+        spark.createDataFrame(
+            [
+                (
+                    src_part,
+                    int(agg["n_convs"]),
+                    int(agg["n_turns"]),
+                    int(agg["n_docs"]),
+                    int(seg["n_postings"] or 0),
+                    int(seg["n_term_rows"] or 0),
+                    float(time.time() - t0),
+                )
+            ],
+            "src_part int, n_convs long, n_turns long, n_docs long, "
+            "n_postings long, n_term_rows long, wall_sec double",
+        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
+            os.path.join(index_dir, "lineage")
+        )
         n_batches["n"] += 1
 
     q = (
