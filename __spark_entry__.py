@@ -26,12 +26,13 @@ from abstracts_search_spark.functions.uninvert import invert_expr, uninvert_expr
 from abstracts_search_spark.operators import dedup, similarity, textstats
 from abstracts_search_spark.operators.bm25_brute import bm25_score_all, doc_tokens
 from abstracts_search_spark.operators.docids import assign_doc_ids
-from abstracts_search_spark.operators.multimodal import decode_features, frame_sample, gen_fake_media
+from abstracts_search_spark.operators.multimodal import decode_features, frame_sample
 from abstracts_search_spark.plans.query import indexed_topk_inmem
 from abstracts_search_spark.sources.transcripts import gen_transcripts
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 FIX_DIR = os.path.join(_REPO, "data", "fixtures", "transcripts_small")
+MEDIA_FIX = os.path.join(_REPO, "data", "fixtures", "media_small", "media.parquet")
 
 
 def _ensure_shipped(spark: SparkSession) -> SparkSession:
@@ -57,6 +58,10 @@ _TOK = TOKENIZE_SQL_DUCKDB  # .format(col=...)
 def _ensure_fixture() -> str:
     if not os.path.exists(os.path.join(FIX_DIR, "part=0")):
         gen_transcripts(FIX_DIR, scale="small", seed=42)
+    if not os.path.exists(MEDIA_FIX):
+        from abstracts_search_spark.operators.multimodal import gen_media_fixture
+
+        gen_media_fixture(MEDIA_FIX)
     return FIX_DIR
 
 
@@ -220,7 +225,7 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    feats = decode_features(gen_fake_media(spark, 64))
+    feats = decode_features(spark.read.parquet(MEDIA_FIX))
     return feats.select(
         "media_id",
         "kind",
@@ -232,7 +237,9 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_frame_sample(spark, sf_dir):
-    return frame_sample(gen_fake_media(spark, 64), every_ms=1000)
+    return frame_sample(spark.read.parquet(MEDIA_FIX), every_ms=1000).select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
 
 
 def _wrap(fn):
@@ -335,6 +342,41 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 
 def _plane_lit(plane) -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _media_features_sql() -> str:
+    """Independent DuckDB recomputation of the deterministic fake decoder
+    (operators/multimodal.py:_fake_decode): hx = sha256(kind || hex(payload));
+    feature j = float32(u32_le(digest bytes 4(j%8)..) / 2^32-1); feat_sum is
+    the same left-to-right double sum Spark's F.aggregate performs."""
+    from abstracts_search_spark.operators.multimodal import FEATURE_DIM
+
+    def u32_le(j: int) -> str:
+        b = (j % 8) * 4  # digest repeats every 8 uint32s (32-byte sha256)
+        hi_to_lo = " || ".join(f"substr(hx, {2 * (b + k) + 1}, 2)" for k in (3, 2, 1, 0))
+        return f"CAST('0x' || {hi_to_lo} AS BIGINT)"
+
+    terms = [
+        f"CAST(CAST(CAST({u32_le(j)} AS DOUBLE) / 4294967295.0 AS FLOAT) AS DOUBLE)"
+        for j in range(FEATURE_DIM)
+    ]
+    return f"""
+WITH h AS (
+  SELECT media_id, kind, sha256(kind || lower(hex(payload))) AS hx
+  FROM read_parquet('{MEDIA_FIX}')
+)
+SELECT media_id, kind, CAST({FEATURE_DIM} AS BIGINT) AS dim,
+       round({" + ".join(terms)}, 6) AS feat_sum
+FROM h
+"""
+
+
+def _frame_sample_sql(every_ms: int = 1000) -> str:
+    return f"""
+SELECT media_id, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), {every_ms})) AS BIGINT) AS frame_ms
+FROM read_parquet('{MEDIA_FIX}')
+WHERE kind = 'video'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -491,6 +533,8 @@ SELECT doc_id,
 FROM toksl
 """,
         "simhash64": _simhash_sql(),
+        "media_features": _media_features_sql(),
+        "frame_sample": _frame_sample_sql(),
     }
 
 

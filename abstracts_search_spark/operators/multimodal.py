@@ -45,8 +45,14 @@ def _real_decode(kind: str, payload: bytes) -> np.ndarray:
 
 
 def _fake_decode(kind: str, payload: bytes) -> np.ndarray:
-    """Deterministic fake: features derived from a sha256 of the bytes."""
-    h = hashlib.sha256((kind or "").encode() + (payload or b"")).digest()
+    """Deterministic fake: features derived from sha256(kind ‖ hex(payload)).
+
+    Hashing the HEX encoding (not the raw bytes) keeps the fake fully
+    engine-portable: SQL engines whose sha256 takes VARCHAR only (DuckDB)
+    reproduce it bit-exactly via sha256(kind || lower(hex(payload))), which
+    is what the driver oracle does (__spark_entry__._media_features_sql).
+    """
+    h = hashlib.sha256(((kind or "") + (payload or b"").hex()).encode()).digest()
     raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
@@ -84,8 +90,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+def _gen_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -96,10 +101,41 @@ def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             (
                 i,
                 kind,
-                bytearray(payload),
+                payload,
                 int(rng.integers(16, 4096)) if kind == "image" else None,
                 int(rng.integers(16, 4096)) if kind == "image" else None,
                 int(rng.integers(1000, 60000)) if kind != "image" else None,
             )
         )
+    return rows
+
+
+def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    rows = [(i, k, bytearray(p), w, h, d) for i, k, p, w, h, d in _gen_media_rows(n, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def gen_media_fixture(path: str, n: int = 64, seed: int = 42) -> str:
+    """Write the fake media table as ONE parquet file (no Spark needed) so the
+    Spark queries and the DuckDB oracle read the exact same bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _gen_media_rows(n, seed)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1], pa.string()),
+            "payload": pa.array(cols[2], pa.binary()),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "duration_ms": pa.array(cols[5], pa.int32()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return path

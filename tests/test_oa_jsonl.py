@@ -61,3 +61,21 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert sorted(back.columns) == ["document", "id"]
     assert back.count() == docs.count()
+
+
+def test_gz_ingest_matches_plain(spark, tmp_path):
+    """S3: Spark-native .gz decompression — the reference pipe is
+    `curl | gunzip | oa_jsonl` (Makefile:57-66); here the gzipped JSONL is
+    read directly and must produce identical rows to the plain file."""
+    import gzip
+    import shutil
+
+    plain = str(tmp_path / "works.jsonl")
+    gen_works_jsonl(plain, n=200, seed=7)
+    gzed = str(tmp_path / "works.jsonl.gz")
+    with open(plain, "rb") as src, gzip.open(gzed, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    want = {r["id"]: r["document"] for r in read_works(spark, plain).collect()}
+    got = {r["id"]: r["document"] for r in read_works(spark, gzed).collect()}
+    assert got == want
+    assert len(got) > 50
