@@ -1,4 +1,4 @@
-from .build import build_index
+from .build import build_doc_index, build_index
 from .query import IndexReader
 
-__all__ = ["build_index", "IndexReader"]
+__all__ = ["build_doc_index", "build_index", "IndexReader"]

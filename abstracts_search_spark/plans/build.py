@@ -211,6 +211,70 @@ def build_index(
     return metrics
 
 
+def build_doc_index(
+    docs: DataFrame,
+    index_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-shot index build over a pre-assembled documents table
+    (id, text) — the persisted-index path for the flagship query: build ONCE,
+    then every query goes through IndexReader (bucket partition pruning +
+    pushed term predicates) instead of re-tokenizing the corpus per call.
+
+    Same artifact layout as build_index/merge_index; docmap's conv_id is the
+    stringified doc_id (documents tables carry their own ids). params.json is
+    written LAST and doubles as the completeness marker.
+    """
+    spark = docs.sparkSession
+    prepared = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).alias("src_part"),
+            doclen_udf(F.col(text_col)).cast("int").alias("doclen"),
+            F.col(text_col).alias("document"),
+        )
+        .filter(F.col("doclen") > 0)
+        .persist()
+    )
+    packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
+    postings = merge_segments(build_segments_packed(packed))
+    postings_path = os.path.join(index_dir, "postings")
+    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(postings_path)
+
+    merged = spark.read.option("basePath", postings_path).parquet(postings_path)
+    merged.groupBy("term").agg(
+        F.sum("df").alias("df"), F.first("bucket").alias("bucket")
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
+
+    prepared.select(
+        "doc_id", F.col("doc_id").cast("string").alias("conv_id"), "doclen", "src_part"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "docmap"))
+    prepared.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+        F.sum("doclen").alias("total_tokens"),
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    prepared.unpersist()
+
+    with open(os.path.join(index_dir, "params.json"), "w") as f:
+        json.dump(
+            {
+                "k1": K1,
+                "b": B_BM25,
+                "buckets": buckets,
+                "shard_docs": shard_docs,
+                "block_size": BLOCK_SIZE,
+                "tie_break": "score DESC, doc_id ASC",
+            },
+            f,
+        )
+
+
 def merge_index(
     spark: SparkSession,
     index_dir: str,

@@ -95,6 +95,13 @@ def main() -> dict:
     # --- 3. headline operator queries at sf_dir ----------------------------
     import __spark_entry__ as entrymod
 
+    # warm the persisted documents index (build-once/query-many architecture);
+    # its one-time build cost is reported as its own line, never as query time
+    t0 = time.time()
+    entrymod._doc_index_reader(spark, sf_dir)
+    timings["doc_index_open"] = round(time.time() - t0, 3)
+    print(f"doc_index_open: {timings['doc_index_open']}s", file=sys.stderr)
+
     qs = entrymod.queries()
     for name in (
         "bm25_topk",
