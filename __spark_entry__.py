@@ -229,6 +229,10 @@ def _q_embedding_dups(spark, sf_dir):
     return dedup.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), top=20)
 
 
+def _q_embedding_dup_lsh(spark, sf_dir):
+    return dedup.embedding_dup_lsh(_load(spark, sf_dir, "embeddings"), top=20)
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.lang_id(_load(spark, sf_dir, "documents"))
 
@@ -293,6 +297,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
@@ -363,6 +368,44 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 
 def _plane_lit(plane) -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _embedding_dup_lsh_sql(
+    n_planes: int = 8, bands: int = 4, seed: int = 42, max_bucket: int = 50, top: int = 20
+) -> str:
+    """Independent DuckDB replication of the banded-LSH near-dup pruning
+    (operators/similarity.py:cosine_pairs_lsh): same seeded plane literals,
+    same bucket-size guard, pairs only within (band, bucket)."""
+    dim = 64  # embeddings testdata dimension (TESTDATA.md)
+    selects = []
+    for band in range(bands):
+        planes = similarity.hyperplanes(dim, n_planes, seed + band)
+        cases = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {_plane_lit(planes[p])}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        selects.append(f"SELECT {band} AS band, ({cases}) AS bucket, vec_id, e FROM v")
+    bk = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (
+{bk}
+),
+guard AS (
+  SELECT band, bucket FROM (SELECT band, bucket, count(*) AS c FROM bk GROUP BY 1, 2)
+  WHERE c > 1 AND c <= {max_bucket}
+),
+cand AS (SELECT bk.* FROM bk JOIN guard USING (band, bucket)),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM cand a JOIN cand b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+d AS (SELECT vec_a, vec_b, max(cos) AS cos FROM p GROUP BY 1, 2)
+SELECT vec_a, vec_b, cos FROM d ORDER BY cos DESC, vec_a, vec_b LIMIT {top}
+"""
 
 
 def _media_features_sql() -> str:
@@ -554,6 +597,7 @@ SELECT doc_id,
 FROM toksl
 """,
         "simhash64": _simhash_sql(),
+        "embedding_dup_lsh": _embedding_dup_lsh_sql(),
         "media_features": _media_features_sql(),
         "frame_sample": _frame_sample_sql(),
     }

@@ -230,9 +230,19 @@ simhash64 = simhash
 
 
 def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", top: int = 20) -> DataFrame:
-    """Embedding-cosine near-dup: exact top most-similar pairs via the blocked
-    GEMM path (similarity.cosine_pairs_blocked) — one float64 matmul per block
-    pair instead of a materialized quadratic pair table."""
+    """EXACT embedding-cosine near-dup via blocked GEMM — the small-data
+    ORACLE (quadratic compute; its block grid is a plan, not driver state).
+    The production path at scale is `embedding_dup_lsh`."""
     from .similarity import cosine_pairs_blocked
 
     return cosine_pairs_blocked(emb, top=top, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_dup_lsh(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", top: int = 20) -> DataFrame:
+    """Embedding-cosine near-dup at scale: banded hyperplane LSH — pairs are
+    generated only within bounded (band, bucket) groups (similarity.
+    cosine_pairs_lsh), never all-pairs. The embedding analog of
+    `minhash_lsh_pairs`, with the same per-bucket skew valve."""
+    from .similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(emb, top=top, id_col=id_col, vec_col=vec_col)

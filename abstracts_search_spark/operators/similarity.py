@@ -86,9 +86,12 @@ def cosine_pairs_blocked(
     )
     nblk = v.agg(F.max("blk")).collect()[0][0] + 1
     spark = emb.sparkSession
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(nblk) for j in range(nblk) if i <= j], "gi int, gj int"
-    )
+    # the (i <= j) block-pair grid is built AS A PLAN (range × range), never as
+    # a driver-side Python list — at 10^6 blocks the old list comprehension
+    # was 5×10^11 driver tuples; this is zero driver state at any size
+    gi = spark.range(nblk).select(F.col("id").cast("int").alias("gi"))
+    gj = spark.range(nblk).select(F.col("id").cast("int").alias("gj"))
+    grid = gi.crossJoin(gj).filter(F.col("gi") <= F.col("gj"))
     left = v.join(F.broadcast(grid), v.blk == F.col("gi")).select(
         "gi", "gj", F.lit(0).alias("side"), "vid", "vec"
     )
@@ -116,6 +119,74 @@ def cosine_pairs_blocked(
 
     pairs = both.groupBy("gi", "gj").applyInPandas(gemm, "vec_a long, vec_b long, cos double")
     return pairs.orderBy(F.desc("cos"), "vec_a", "vec_b").limit(top)
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    top: int = 20,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH — the 100 TB path.
+
+    Each of `bands` independent plane sets (seed+band) buckets every vector;
+    candidate pairs are generated ONLY within (band, bucket) groups, scored
+    with one float64 GEMM per group (applyInPandas), then de-duplicated across
+    bands. Buckets larger than `max_bucket` are dropped (the boilerplate-skew
+    valve, same contract as dedup.minhash_lsh_pairs). No all-pairs stage and
+    no driver-side pair structures exist anywhere: the widest shuffles are the
+    per-band bucket exchange (narrow rows) and the bounded bucket self-GEMM.
+
+    Recall is governed by (n_planes, bands): P(pair survives) =
+    1-(1-(1-θ/π)^n_planes)^bands — near-dups (θ→0) are found with
+    near-certainty. Deterministic for fixed seed, so the driver oracle
+    replicates the exact same pruning in SQL.
+    -> (vec_a, vec_b, cos) top `top` by (cos DESC, vec_a, vec_b).
+    """
+    import pandas as pd
+
+    dim = _dim_of(emb, vec_col)
+    v = emb.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("vec"))
+    per_band = []
+    for band in range(bands):
+        planes = hyperplanes(dim, n_planes, seed + band)
+        per_band.append(
+            v.select(
+                F.lit(band).alias("band"),
+                bucket_expr(F.col("vec"), planes).alias("bucket"),
+                "vid",
+                "vec",
+            )
+        )
+    banded = per_band[0]
+    for b in per_band[1:]:
+        banded = banded.union(b)
+    guard = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .filter((F.col("bsz") > 1) & (F.col("bsz") <= max_bucket))
+        .select("band", "bucket")
+    )
+    cand = banded.join(F.broadcast(guard), ["band", "bucket"])
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf.sort_values("vid")
+        m = np.stack(a["vec"].to_numpy())
+        cos = (m @ m.T) / np.outer(np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1))
+        ids = a["vid"].to_numpy()
+        ia, ib = np.meshgrid(ids, ids, indexing="ij")
+        mask = ia < ib
+        return pd.DataFrame({"vec_a": ia[mask], "vec_b": ib[mask], "cos": np.round(cos[mask], 6)})
+
+    pairs = cand.groupBy("band", "bucket").applyInPandas(
+        gemm, "vec_a long, vec_b long, cos double"
+    )
+    dedup = pairs.groupBy("vec_a", "vec_b").agg(F.max("cos").alias("cos"))
+    return dedup.orderBy(F.desc("cos"), "vec_a", "vec_b").limit(top)
 
 
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:

@@ -111,6 +111,7 @@ def main() -> dict:
         "jaccard_pairs",
         "ann_cosine_topk",
         "embedding_dup_pairs",
+        "embedding_dup_lsh",
         "quality_score",
         "fingerprint",
     ):

@@ -151,3 +151,24 @@ def test_simhash_identical_and_distance(spark, dup_docs):
     ham_near = bin(got[0] ^ got[2]).count("1")
     ham_far = bin(got[0] ^ got[3]).count("1")
     assert ham_near < ham_far
+
+
+def test_embedding_dup_lsh_finds_planted_near_dups(spark):
+    """The LSH scale path must recover actual near-duplicates (cos→1) with
+    near-certainty: P(miss) = (1-(1-θ/π)^8)^4 → 0 as θ → 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant 3 near-dup pairs: ids (100,101,102) are tiny perturbations of 0,1,2
+    for j in range(3):
+        v = base[j] + rng.standard_normal(64) * 0.01
+        rows.append((100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from abstracts_search_spark.operators.similarity import cosine_pairs_lsh
+
+    got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in cosine_pairs_lsh(emb, top=5).collect()}
+    for j in range(3):
+        assert (j, 100 + j) in got
+        assert got[(j, 100 + j)] > 0.99
