@@ -89,9 +89,21 @@ def _doc_index_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     a persistent cache dir on first use (params.json, written last, is the
     completeness marker) and every subsequent query goes through IndexReader —
     bucket partition pruning + pushed term predicates, no per-call rebuild."""
+    import json
+    import shutil
+
+    from abstracts_search_spark.plans.build import INDEX_FORMAT
+
     tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
     idx = os.path.join(_REPO, "data", "cache", f"docindex_{tag}")
-    if not os.path.exists(os.path.join(idx, "params.json")):
+    params_path = os.path.join(idx, "params.json")
+    stale = False
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stale = json.load(f).get("format") != INDEX_FORMAT
+    if stale:
+        shutil.rmtree(idx, ignore_errors=True)
+    if not os.path.exists(params_path) or stale:
         os.makedirs(idx, exist_ok=True)
         build_doc_index(_load(spark, sf_dir, "documents"), idx)
     key = (id(spark), idx)

@@ -4,12 +4,12 @@ Mirrors the reference's two-stage shape: per-source-partition incremental
 builds that accumulate into a store (/root/reference/Makefile:57-66), then a
 global fill producing on-disk inverted lists (Makefile:24-25). Here:
 
-- **build_segments** — per src partition: tokens → grouped by
-  (src_part, bucket, shard) → ``applyInPandas`` emits one encoded posting row
-  per term. ``bucket = pmod(xxhash64(term), B)`` drives query-time partition
-  pruning (the analog of IVF probing only nprobe lists, SURVEY.md §4);
-  ``shard = doc_id // shard_docs`` tiles the docID space so doc ranges are
-  DISJOINT across shards.
+- **build_segments** — per src partition: tokens → dictionary-encoded to
+  int64 ``term_id`` → grouped by (src_part, bucket, shard) →
+  ``applyInPandas`` emits one encoded posting row per term.
+  ``bucket = term_id % B`` drives query-time partition pruning (the analog of
+  IVF probing only nprobe lists, SURVEY.md §4); ``shard = doc_id //
+  shard_docs`` tiles the docID space so doc ranges are DISJOINT across shards.
 - **merge_segments** — grouped by (bucket, shard): concatenates each term's
   per-src-partition postings (disjoint doc sets), re-sorts, re-encodes with
   block metadata.
@@ -37,8 +37,19 @@ DEFAULT_BUCKETS = 64
 # still packs ~16k postings per row
 DEFAULT_SHARD_DOCS = 1 << 14
 
+# Postings are keyed by `term_id`, the signed-int64 blake2b-8 hash of the
+# term string — the dictionary-encoding of the token stream. The id is
+# computed ONCE, in the same Arrow pass that tokenizes (pack_doc_tokens), so
+# the build's single largest exchange moves fixed-width int64 keys instead of
+# variable-length strings: severalfold fewer shuffle bytes, which is the
+# memory-bandwidth ceiling of the wide build stage (BASELINE.md). Queries
+# recompute term_id_of(query term) driver-side — no string dictionary needed.
+# Collision math: for vocabulary V, expected colliding pairs ≈ V²/2^65
+# (V=10⁹ → 0.03 expected collisions corpus-wide; a collision merges two
+# terms' postings). A 128-bit id (two columns) is the config-flip if a
+# trillion-term vocabulary ever matters.
 _POSTING_COLS = (
-    "term string, df long, first_doc long, last_doc long, "
+    "term_id long, df long, first_doc long, last_doc long, "
     "doc_bin binary, tf_bin binary, dl_bin binary, "
     "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>, "
     "doc_offs array<int>, tf_offs array<int>, dl_offs array<int>, n_blocks int"
@@ -48,12 +59,46 @@ SEGMENT_SCHEMA = f"src_part int, bucket int, shard long, {_POSTING_COLS}"
 POSTINGS_SCHEMA = f"bucket int, shard long, {_POSTING_COLS}"
 
 
-def bucket_of(term_col, buckets: int):
-    return F.pmod(F.xxhash64(term_col), F.lit(buckets)).cast("int")
+def term_id_of(term: str) -> int:
+    """Signed-int64 term key: blake2b(term, 8 bytes), big-endian two's
+    complement. Deterministic across batches, processes and engines — the
+    only property the key needs (it is never inverted back to the string)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big", signed=True)
+
+
+def bucket_of_id(tid: int, buckets: int) -> int:
+    """Bucket from the signed id. Python's ``%`` with a positive modulus
+    equals Spark's ``pmod`` — either side may compute it, identically."""
+    return tid % buckets
+
+
+def _term_id_udf():
+    """Vectorized term→term_id for string-token DataFrames (the build_segments
+    / build_segments_raw ingest shape). Per-batch cache: hashing cost is per
+    UNIQUE term, not per occurrence."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _run(terms):
+        cache: dict[str, int] = {}
+        get = cache.get
+
+        def one(t):
+            v = get(t)
+            if v is None:
+                v = term_id_of(t)
+                cache[t] = v
+            return v
+
+        return terms.map(one)
+
+    return pandas_udf(_run, T.LongType())
 
 
 _EMPTY_COLS = (
-    "term df first_doc last_doc doc_bin tf_bin dl_bin block_last block_max_tf "
+    "term_id df first_doc last_doc doc_bin tf_bin dl_bin block_last block_max_tf "
     "block_min_dl doc_offs tf_offs dl_offs n_blocks"
 ).split()
 
@@ -69,7 +114,7 @@ def _encode_sorted(codes, uniques, docs, tfs, dls, head: dict) -> pd.DataFrame:
     else:
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
         enc = encode_posting_lists(docs, tfs, dls, bounds)
-        out = pd.DataFrame({"term": uniques[codes[bounds[:-1]]], **enc})
+        out = pd.DataFrame({"term_id": uniques[codes[bounds[:-1]]], **enc})
     for k, v in head.items():
         out[k] = v
     return out
@@ -109,18 +154,22 @@ def build_segments(
 ) -> DataFrame:
     """tokens(src_part, doc_id, doclen, term, tf) -> segment rows.
 
-    The groupBy keys make the shuffle explicit: one exchange hash-partitioned
-    on (src_part, bucket, shard) — group width bounded by
-    shard_docs × (vocab / buckets), independent of term skew.
+    Terms are dictionary-encoded to int64 BEFORE the wide exchange (the ids
+    shuffle; the strings don't). The groupBy keys make the shuffle explicit:
+    one exchange hash-partitioned on (src_part, bucket, shard) — group width
+    bounded by shard_docs × (vocab / buckets), independent of term skew.
     """
-    keyed = tokens.withColumn("bucket", bucket_of(F.col("term"), buckets)).withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long")
+    keyed = (
+        tokens.withColumn("term_id", _term_id_udf()(F.col("term")))
+        .drop("term")
+        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(buckets)).cast("int"))
+        .withColumn("shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long"))
     )
 
     def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
         return _emit_rows(
-            pdf["term"].to_numpy(),
+            pdf["term_id"].to_numpy(np.int64),
             pdf["doc_id"].to_numpy(np.int64),
             pdf["tf"].to_numpy(np.int64),
             pdf["doclen"].to_numpy(np.int64),
@@ -139,16 +188,19 @@ def build_segments_raw(
 ) -> DataFrame:
     """Segment build over RAW token occurrences (src_part, doc_id, doclen, term)
     — tf is counted inside the grouped UDF (run-length encode after lexsort),
-    so the token stream crosses exactly ONE exchange. Output ≡ build_segments
-    over pre-aggregated tf rows (tested)."""
-    keyed = token_occurrences.withColumn("bucket", bucket_of(F.col("term"), buckets)).withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long")
+    so the token stream crosses exactly ONE exchange, carrying int64 term_ids.
+    Output ≡ build_segments over pre-aggregated tf rows (tested)."""
+    keyed = (
+        token_occurrences.withColumn("term_id", _term_id_udf()(F.col("term")))
+        .drop("term")
+        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(buckets)).cast("int"))
+        .withColumn("shard", (F.col("doc_id") / F.lit(shard_docs)).cast("long"))
     )
 
     def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
         return _emit_rows_counting(
-            pdf["term"].to_numpy(),
+            pdf["term_id"].to_numpy(np.int64),
             pdf["doc_id"].to_numpy(np.int64),
             pdf["doclen"].to_numpy(np.int64),
             {"src_part": src_part, "bucket": bucket, "shard": shard},
@@ -161,19 +213,8 @@ def build_segments_raw(
 
 _PACKED_DOC_SCHEMA = (
     "src_part int, doc_id long, doclen int, "
-    "bks array<int>, tslices array<array<string>>, fslices array<array<int>>"
+    "bks array<int>, tslices array<array<long>>, fslices array<array<int>>"
 )
-
-
-def crc_bucket(term: str, buckets: int) -> int:
-    """Python-side bucket function (zlib.crc32). The bucket is an internal
-    partitioning key: it is DEFINED here at segment-build time, stored in
-    segments/postings/dictionary, and only ever read back — no JVM
-    recomputation anywhere, so no cross-engine hash parity is needed. It just
-    has to be deterministic across incremental batches."""
-    import zlib
-
-    return zlib.crc32(term.encode()) % buckets
 
 
 def pack_doc_tokens(
@@ -183,27 +224,26 @@ def pack_doc_tokens(
     text_col: str = "document",
 ) -> DataFrame:
     """docs(doc_id, src_part, doclen, <text_col>) -> (doc, bucket)-packed rows
-    (src_part, bucket, shard, doc_id, doclen, terms array, tfs array).
+    (src_part, bucket, shard, doc_id, doclen, term_ids array, tfs array).
 
-    The shuffle-compression stage: tokenize + per-doc tf-count + bucket
-    assignment happen in ONE Arrow pass emitting a single nested row per doc
-    (Counter + dict-cached crc32 — ~100µs/doc); the cheap fan-out to
-    (doc, bucket) granularity is a codegen'd JVM arrays_zip+explode. The
-    exchange that follows moves ~tokens/12 packed rows instead of one row per
-    token occurrence — at 100 TB the token-stream shuffle is the single
-    largest data movement of the build, and per-row shuffle overhead on it
-    dominates everything else.
+    The shuffle-compression stage: tokenize + per-doc tf-count + term_id +
+    bucket assignment happen in ONE Arrow pass emitting a single nested row
+    per doc (Counter + a dict-cached blake2b-8 per UNIQUE term — ~100µs/doc);
+    the cheap fan-out to (doc, bucket) granularity is a codegen'd JVM
+    arrays_zip+explode. The exchange that follows moves ~tokens/12 packed rows
+    of fixed-width int64 ids instead of one string row per token occurrence —
+    at 100 TB the token-stream shuffle is the single largest data movement of
+    the build, and its bytes (strings vs ints) set the memory-bandwidth floor.
     """
     from typing import Iterator
 
     from ..functions.tokenize import _TOKEN_RE
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
         from collections import Counter
 
-        bucket_cache: dict[str, int] = {}
-        cache_get = bucket_cache.get
+        id_cache: dict[str, tuple[int, int]] = {}
+        cache_get = id_cache.get
 
         for pdf in batches:
             rows_bks, rows_ts, rows_fs = [], [], []
@@ -214,15 +254,16 @@ def pack_doc_tokens(
                     continue
                 by_bucket: dict[int, tuple[list, list]] = {}
                 for t, n in Counter(toks).items():
-                    b = cache_get(t)
-                    if b is None:
-                        b = zlib.crc32(t.encode()) % buckets
-                        bucket_cache[t] = b
-                    slot = by_bucket.get(b)
+                    tb = cache_get(t)
+                    if tb is None:
+                        tid = term_id_of(t)
+                        tb = (tid, tid % buckets)
+                        id_cache[t] = tb
+                    slot = by_bucket.get(tb[1])
                     if slot is None:
                         slot = ([], [])
-                        by_bucket[b] = slot
-                    slot[0].append(t)
+                        by_bucket[tb[1]] = slot
+                    slot[0].append(tb[0])
                     slot[1].append(n)
                 keep.append(i)
                 rows_bks.append(list(by_bucket.keys()))
@@ -248,7 +289,7 @@ def pack_doc_tokens(
         (F.col("doc_id") / F.lit(shard_docs)).cast("long").alias("shard"),
         "doc_id",
         "doclen",
-        F.col("z.tslices").alias("terms"),
+        F.col("z.tslices").alias("term_ids"),
         F.col("z.fslices").alias("tfs"),
     )
 
@@ -258,18 +299,18 @@ def build_segments_packed(packed: DataFrame) -> DataFrame:
 
     groupBy(src_part, bucket, shard) over packed rows; inside the UDF the
     arrays are flattened with numpy (concatenate/repeat — no per-token Python)
-    and encoded per term. Output ≡ build_segments_raw (tested).
+    and encoded per term_id. Output ≡ build_segments_raw (tested).
     """
 
     def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
-        lens = pdf["terms"].map(len).to_numpy(np.int64)
-        terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+        lens = pdf["term_ids"].map(len).to_numpy(np.int64)
+        tids = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["term_ids"]])
         tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
         dls = np.repeat(pdf["doclen"].to_numpy(np.int64), lens)
         return _emit_rows(
-            terms, doc_ids, tfs, dls, {"src_part": src_part, "bucket": bucket, "shard": shard}
+            tids, doc_ids, tfs, dls, {"src_part": src_part, "bucket": bucket, "shard": shard}
         )
 
     return packed.groupBy("src_part", "bucket", "shard").applyInPandas(
@@ -297,7 +338,7 @@ def merge_segments(segments: DataFrame) -> DataFrame:
             [bytes(b) for b in pdf["dl_bin"]],
             dfs,
         )
-        row_codes, uniques = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        row_codes, uniques = pd.factorize(pdf["term_id"].to_numpy(np.int64), sort=False)
         codes = np.repeat(row_codes, dfs)
         order = np.lexsort((docs, codes))
         return _encode_sorted(

@@ -147,24 +147,36 @@ def cosine_pairs_lsh(
     replicates the exact same pruning in SQL.
     -> (vec_a, vec_b, cos) top `top` by (cos DESC, vec_a, vec_b).
     """
+    from typing import Iterator
+
     import pandas as pd
 
     dim = _dim_of(emb, vec_col)
-    v = emb.select(F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("vec"))
-    per_band = []
-    for band in range(bands):
-        planes = hyperplanes(dim, n_planes, seed + band)
-        per_band.append(
-            v.select(
-                F.lit(band).alias("band"),
-                bucket_expr(F.col("vec"), planes).alias("bucket"),
-                "vid",
-                "vec",
+    # all bands' plane matrices stacked: one (batch × dim) · (dim × B·P) GEMM
+    # per Arrow batch computes every bucket bit — bucket assignment is a
+    # single vectorized pass, not bands × planes interpreted HOF lambdas
+    all_planes = np.concatenate(
+        [hyperplanes(dim, n_planes, seed + band) for band in range(bands)]
+    )  # (bands*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64)).reshape(1, 1, n_planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (m @ all_planes.T >= 0).reshape(len(pdf), bands, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "vec": [list(map(float, row)) for row in m],
+                    "bks": list(buckets),
+                }
             )
-        )
-    banded = per_band[0]
-    for b in per_band[1:]:
-        banded = banded.union(b)
+
+    per_vec = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="vid long, vec array<double>, bks array<int>"
+    )
+    banded = per_vec.select("vid", "vec", F.posexplode("bks").alias("band", "bucket"))
     guard = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("bsz"))

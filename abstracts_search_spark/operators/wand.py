@@ -98,13 +98,13 @@ class _Cursor:
         return float(self.block_ub[self.bi]) if self.cur_doc != _INF else 0.0
 
 
-def wand_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
+def wand_topk(rows: list[dict], idfs: dict[int, float], k: int, k1: float, b: float, avgdl: float):
     """Exact block-max WAND over one shard's candidate lists.
 
     Pruning is strict (< θ only), so score ties are always fully evaluated and
     the (score DESC, doc_id ASC) order matches brute force exactly.
     """
-    cursors = [_Cursor(r, idfs[r["term"]], k1, b, avgdl) for r in rows]
+    cursors = [_Cursor(r, idfs[r["term_id"]], k1, b, avgdl) for r in rows]
     heap: list[tuple[float, int]] = []  # min-heap keyed (score, -doc_id)
 
     def theta() -> float:
@@ -149,7 +149,7 @@ def wand_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: fl
     return [(doc, s) for s, doc in out]
 
 
-def taat_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float):
+def taat_topk(rows: list[dict], idfs: dict[int, float], k: int, k1: float, b: float, avgdl: float):
     """Exact vectorized term-at-a-time scoring over one shard."""
     base = min(int(r["first_doc"]) for r in rows)
     hi = max(int(r["last_doc"]) for r in rows)
@@ -158,7 +158,7 @@ def taat_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: fl
     touched = np.zeros(width, dtype=bool)
     for r in rows:
         docs, tfs, dls = decode_posting_list(r)
-        contrib = _contrib(idfs[r["term"]], tfs, dls, k1, b, avgdl)
+        contrib = _contrib(idfs[r["term_id"]], tfs, dls, k1, b, avgdl)
         idx = docs - base
         acc += np.bincount(idx, weights=contrib, minlength=width)
         touched[idx] = True
@@ -169,7 +169,7 @@ def taat_topk(rows: list[dict], idfs: dict[str, float], k: int, k1: float, b: fl
 
 
 def make_multi_scorer(
-    query_idfs: dict[int, dict[str, float]],
+    query_idfs: dict[int, dict[int, float]],
     k: int,
     avgdl: float,
     k1: float = K1,
@@ -182,13 +182,13 @@ def make_multi_scorer(
     """
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, tuple] = {}
+        decoded: dict[int, tuple] = {}
         base = int(pdf["first_doc"].min())
         hi = int(pdf["last_doc"].max())
         width = hi - base + 1
         for r in pdf.to_dict("records"):
             docs, tfs, dls = decode_posting_list(r)
-            decoded[r["term"]] = (docs, tfs, dls)
+            decoded[r["term_id"]] = (docs, tfs, dls)
         out_q, out_d, out_s = [], [], []
         for qid, idfs in query_idfs.items():
             acc = np.zeros(width, dtype=np.float64)
@@ -216,7 +216,7 @@ def make_multi_scorer(
     return score_shard
 
 
-def make_shard_scorer(idfs: dict[str, float], k: int, avgdl: float,
+def make_shard_scorer(idfs: dict[int, float], k: int, avgdl: float,
                       k1: float = K1, b: float = B_BM25, method: str = "bmw"):
     """Returns an applyInPandas function: one shard's posting rows -> top-k."""
     fn = wand_topk if method == "bmw" else taat_topk

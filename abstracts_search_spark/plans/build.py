@@ -16,7 +16,7 @@ facade only reads/writes whole tables):
     docmap/               (doc_id, conv_id, doclen, src_part)
     segments/src_part=K/  encoded per-partition posting segments
     postings/bucket=B/    merged posting lists (+ block-max metadata)
-    dictionary/           (term, df, bucket)
+    dictionary/           (term_id, df, bucket)
     stats/                (n_docs, avgdl, total_tokens)
     lineage/              (src_part, n_convs, n_turns, n_docs, wall_sec, ts)
     params.json           k1/b/buckets/shard_docs/block_size
@@ -44,13 +44,10 @@ from ..operators.postings import (
     merge_segments,
     pack_doc_tokens,
 )
+from ..sources.tables import commit, read_table, table_exists
 
-
-def _exists(path: str) -> bool:
-    return os.path.exists(path) and any(
-        f.endswith(".parquet") or f.startswith(("part=", "bucket=", "src_part="))
-        for f in os.listdir(path)
-    )
+# bumped whenever the on-disk artifact schema changes (2 = int64 term_id keys)
+INDEX_FORMAT = 2
 
 
 def list_source_partitions(transcripts_dir: str) -> list[int]:
@@ -68,9 +65,8 @@ def pending_partitions(spark: SparkSession, transcripts_dir: str, index_dir: str
     src = spark.createDataFrame(
         [(p,) for p in list_source_partitions(transcripts_dir)], "src_part int"
     )
-    lineage_path = os.path.join(index_dir, "lineage")
-    if _exists(lineage_path):
-        done = spark.read.parquet(lineage_path).select("src_part")
+    if table_exists(index_dir, "lineage"):
+        done = read_table(spark, index_dir, "lineage").select("src_part")
         src = src.join(done, "src_part", "left_anti")
     return sorted(r["src_part"] for r in src.collect())
 
@@ -92,7 +88,6 @@ def build_index(
     metrics: dict = {"pending_parts": len(pending), "n_turns": 0, "n_docs": 0}
 
     if pending:
-        docmap_path = os.path.join(index_dir, "docmap")
         # scrub partial writes from a previous crash (data written but lineage
         # marker absent) so reruns are idempotent — the make-style contract:
         # a partition without its marker is rebuilt from scratch (Makefile:57-66)
@@ -102,8 +97,8 @@ def build_index(
                 if os.path.exists(d):
                     shutil.rmtree(d)
         start = 0
-        if _exists(docmap_path):
-            start = spark.read.parquet(docmap_path).agg(F.max("doc_id")).collect()[0][0] + 1
+        if table_exists(index_dir, "docmap"):
+            start = read_table(spark, index_dir, "docmap").agg(F.max("doc_id")).collect()[0][0] + 1
 
         t = (
             spark.read.option("basePath", transcripts_dir)
@@ -142,19 +137,17 @@ def build_index(
             shard_docs=shard_docs,
         )
         segments = build_segments_packed(packed)
-        seg_path = os.path.join(index_dir, "segments")
-        # co-partition the write with the directory layout: one file per
-        # src_part dir instead of n_tasks × n_parts small files — file-commit
-        # and later scan-planning are driver-serial, so file count is a direct
-        # serial cost (the reference controls file layout the same way:
-        # --shard-size, /root/reference/Makefile:48)
-        segments.repartition("src_part").write.mode("append").partitionBy("src_part").parquet(
-            seg_path
-        )
+        # co-partition writes with the directory layout: one file per src_part
+        # dir instead of n_tasks × n_parts small files — file-commit and later
+        # scan-planning are driver-serial, so file count is a direct serial
+        # cost (the reference controls file layout the same way: --shard-size,
+        # /root/reference/Makefile:48)
+        commit(segments, index_dir, "segments", mode="append",
+               partition_by=["src_part"], repartition_by=["src_part"])
 
-        ids.select("doc_id", "conv_id", "doclen", "src_part").repartition(
-            "src_part"
-        ).write.mode("append").partitionBy("src_part").parquet(docmap_path)
+        commit(ids.select("doc_id", "conv_id", "doclen", "src_part"), index_dir,
+               "docmap", mode="append", partition_by=["src_part"],
+               repartition_by=["src_part"])
 
         per_part = {
             r["src_part"]: r
@@ -170,8 +163,8 @@ def build_index(
         # compact encoded rows, one small agg job) — north_rule "lineage + metrics"
         seg_stats = {
             r["src_part"]: r
-            for r in spark.read.option("basePath", seg_path)
-            .parquet(*[os.path.join(seg_path, f"src_part={p}") for p in pending])
+            for r in read_table(spark, index_dir, "segments")
+            .filter(F.col("src_part").isin([int(p) for p in pending]))
             .groupBy("src_part")
             .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
             .collect()
@@ -193,12 +186,13 @@ def build_index(
             )
             for p in pending
         ]
-        spark.createDataFrame(
-            lineage_rows,
-            "src_part int, n_convs long, n_turns long, n_docs long, "
-            "n_postings long, n_term_rows long, wall_sec double",
-        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
-            os.path.join(index_dir, "lineage")
+        commit(
+            spark.createDataFrame(
+                lineage_rows,
+                "src_part int, n_convs long, n_turns long, n_docs long, "
+                "n_postings long, n_term_rows long, wall_sec double",
+            ).withColumn("ts", F.current_timestamp()),
+            index_dir, "lineage", mode="append",
         )
         metrics["n_turns"] = sum(r[2] for r in lineage_rows)
         metrics["n_docs"] = sum(r[3] for r in lineage_rows)
@@ -241,24 +235,29 @@ def build_doc_index(
     )
     packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
     postings = merge_segments(build_segments_packed(packed))
-    postings_path = os.path.join(index_dir, "postings")
-    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(postings_path)
+    commit(postings, index_dir, "postings", partition_by=["bucket"],
+           repartition_by=["bucket"], sort_by=["term_id"])
 
-    merged = spark.read.option("basePath", postings_path).parquet(postings_path)
-    merged.groupBy("term").agg(
-        F.sum("df").alias("df"), F.first("bucket").alias("bucket")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
+    merged = read_table(spark, index_dir, "postings")
+    commit(
+        merged.groupBy("term_id").agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket")),
+        index_dir, "dictionary",
+    )
 
-    prepared.select(
-        "doc_id", F.col("doc_id").cast("string").alias("conv_id"), "doclen", "src_part"
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "docmap"))
-    prepared.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doclen").alias("avgdl"),
-        F.sum("doclen").alias("total_tokens"),
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    commit(
+        prepared.select(
+            "doc_id", F.col("doc_id").cast("string").alias("conv_id"), "doclen", "src_part"
+        ),
+        index_dir, "docmap",
+    )
+    commit(
+        prepared.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+        ),
+        index_dir, "stats",
+    )
     prepared.unpersist()
 
     with open(os.path.join(index_dir, "params.json"), "w") as f:
@@ -269,6 +268,7 @@ def build_doc_index(
                 "buckets": buckets,
                 "shard_docs": shard_docs,
                 "block_size": BLOCK_SIZE,
+                "format": INDEX_FORMAT,
                 "tie_break": "score DESC, doc_id ASC",
             },
             f,
@@ -286,31 +286,31 @@ def merge_index(
     Derived artifacts only — rerunning after any crash reproduces them from
     segments + docmap (the `make recover` property).
     """
-    seg_path = os.path.join(index_dir, "segments")
-    if not _exists(seg_path):
+    if not table_exists(index_dir, "segments"):
         return
-    segments = spark.read.option("basePath", seg_path).parquet(seg_path)
+    segments = read_table(spark, index_dir, "segments")
     postings = merge_segments(segments)
-    postings_path = os.path.join(index_dir, "postings")
-    # term-sorted within each bucket file: parquet row-group min/max stats on
-    # `term` let query-time term predicates prune row groups (the within-file
-    # analog of bucket partition pruning)
-    postings.repartition("bucket").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(postings_path)
+    # term_id-sorted within each bucket file: parquet row-group min/max stats
+    # on `term_id` let query-time term predicates prune row groups (the
+    # within-file analog of bucket partition pruning)
+    commit(postings, index_dir, "postings", partition_by=["bucket"],
+           repartition_by=["bucket"], sort_by=["term_id"])
 
-    merged = spark.read.option("basePath", postings_path).parquet(postings_path)
-    dictionary = merged.groupBy("term").agg(
-        F.sum("df").alias("df"), F.first("bucket").alias("bucket")
+    merged = read_table(spark, index_dir, "postings")
+    commit(
+        merged.groupBy("term_id").agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket")),
+        index_dir, "dictionary",
     )
-    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dictionary"))
 
-    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
-    docmap.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doclen").alias("avgdl"),
-        F.sum("doclen").alias("total_tokens"),
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    docmap = read_table(spark, index_dir, "docmap")
+    commit(
+        docmap.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+        ),
+        index_dir, "stats",
+    )
 
     with open(os.path.join(index_dir, "params.json"), "w") as f:
         json.dump(
@@ -320,6 +320,7 @@ def merge_index(
                 "buckets": buckets,
                 "shard_docs": shard_docs,
                 "block_size": BLOCK_SIZE,
+                "format": INDEX_FORMAT,
                 "tie_break": "score DESC, doc_id ASC",
             },
             f,

@@ -3,12 +3,14 @@
 Physical plan, mirroring the reference's query pipeline (embed → IVF probe →
 top-k → hydrate, /root/reference/README.md:16,28):
 
-1. tokenize the query (same tokenizer as build),
-2. look the terms up in `dictionary` (predicate-pushdown scan; result is
-   ≤ |query| rows collected to the driver — the analog of loading
-   params.json + coarse quantizer),
-3. scan `postings` with bucket-partition pruning + term predicate (only the
-   query terms' files/row-groups are read — the IVF-probe analog),
+1. tokenize the query (same tokenizer as build) and hash each term to its
+   int64 ``term_id`` (operators/postings.term_id_of — the postings key; no
+   string dictionary exists or is needed),
+2. look the ids up in `dictionary` (driver-cached for small vocabularies,
+   predicate-pushdown scan otherwise — the analog of loading params.json +
+   coarse quantizer),
+3. scan `postings` with bucket-partition pruning + term_id predicate (only
+   the query terms' files/row-groups are read — the IVF-probe analog),
 4. per-shard exact scoring (block-max WAND or vectorized TAAT) in
    applyInPandas — shards are disjoint doc ranges, so
 5. global TakeOrderedAndProject(k) then a broadcast hydration join against
@@ -25,7 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize_pd
+from ..operators.postings import term_id_of
 from ..operators.wand import idf_of, make_multi_scorer, make_shard_scorer
+from ..sources.tables import read_table
+
+
+def _query_tids(text: str) -> dict[int, str]:
+    """query text -> {term_id: term} for its distinct tokens."""
+    return {term_id_of(t): t for t in sorted(set(tokenize_pd(pd.Series([text]))[0]))}
 
 
 def indexed_topk_inmem(
@@ -40,16 +49,16 @@ def indexed_topk_inmem(
 ) -> DataFrame:
     """Full indexed pipeline (segments → merge → WAND) without touching disk.
 
-    Used by the driver's flagship `entry()` and as an oracle-checked query:
-    the result must equal plain brute-force BM25 SQL — which is exactly what
-    the DuckDB oracle runs. -> (doc_id, score) in rank order.
+    Test/oracle helper ONLY (the flagship path queries a persisted index via
+    IndexReader): the result must equal plain brute-force BM25 SQL — which is
+    exactly what the DuckDB oracle runs. -> (doc_id, score) in rank order.
     """
     from ..operators.bm25_brute import doc_tokens
     from ..operators.postings import build_segments, merge_segments
 
     spark = docs.sparkSession
-    terms = sorted(set(tokenize_pd(pd.Series([query_text]))[0]))
-    if not terms:
+    tids = _query_tids(query_text)
+    if not tids:
         return spark.createDataFrame([], "doc_id long, score double")
     tokens = doc_tokens(docs, text_col=text_col, id_col=id_col).withColumn(
         "src_part", F.lit(0)
@@ -61,9 +70,9 @@ def indexed_topk_inmem(
     segments = build_segments(tokens, buckets=buckets, shard_docs=shard_docs)
     postings = merge_segments(segments)
     dfs = {
-        r["term"]: int(r["df"])
-        for r in postings.filter(F.col("term").isin(terms))
-        .groupBy("term")
+        int(r["term_id"]): int(r["df"])
+        for r in postings.filter(F.col("term_id").isin(list(tids)))
+        .groupBy("term_id")
         .agg(F.sum("df").alias("df"))
         .collect()
     }
@@ -72,7 +81,7 @@ def indexed_topk_inmem(
     idfs = {t: idf_of(n_docs, d) for t, d in dfs.items()}
     scorer = make_shard_scorer(idfs, k, avgdl, method=method)
     per_shard = (
-        postings.filter(F.col("term").isin(list(idfs)))
+        postings.filter(F.col("term_id").isin(list(idfs)))
         .groupBy("shard")
         .applyInPandas(scorer, "doc_id long, score double")
     )
@@ -87,35 +96,41 @@ class IndexReader:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "params.json")) as f:
             self.params = json.load(f)
-        row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        row = read_table(spark, index_dir, "stats").collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
-        self.postings = spark.read.option(
-            "basePath", os.path.join(index_dir, "postings")
-        ).parquet(os.path.join(index_dir, "postings"))
-        self.dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
-        self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+        self.postings = read_table(spark, index_dir, "postings")
+        self.dictionary = read_table(spark, index_dir, "dictionary")
+        self.docmap = read_table(spark, index_dir, "docmap")
         # small vocabularies are cached driver-side so term lookup costs zero
         # Spark jobs per query (the reference holds its coarse quantizer in
         # memory the same way); huge vocabularies fall back to a pushed-down
-        # dictionary scan per query
-        self._dict_cache: dict[str, tuple[int, int]] | None = None
+        # dictionary scan per query (the scan carries an In(term_id,…)
+        # predicate into term_id-sorted row groups, so it stays cheap)
+        self._dict_cache: dict[int, tuple[int, int]] | None = None
         if self.dictionary.count() <= max_cached_terms:
             self._dict_cache = {
-                r["term"]: (int(r["df"]), int(r["bucket"])) for r in self.dictionary.collect()
+                int(r["term_id"]): (int(r["df"]), int(r["bucket"]))
+                for r in self.dictionary.collect()
             }
 
     def lookup_terms(self, terms: list[str]) -> list[dict]:
+        """string terms -> [{term, term_id, df, bucket}] for terms in the index."""
         if not terms:
             return []
+        tids = {term_id_of(t): t for t in terms}
         if self._dict_cache is not None:
             return [
-                {"term": t, "df": self._dict_cache[t][0], "bucket": self._dict_cache[t][1]}
-                for t in terms
-                if t in self._dict_cache
+                {"term": t, "term_id": tid, "df": self._dict_cache[tid][0], "bucket": self._dict_cache[tid][1]}
+                for tid, t in tids.items()
+                if tid in self._dict_cache
             ]
-        rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
-        return [r.asDict() for r in rows]
+        rows = self.dictionary.filter(F.col("term_id").isin(list(tids))).collect()
+        return [
+            {"term": tids[int(r["term_id"])], "term_id": int(r["term_id"]),
+             "df": int(r["df"]), "bucket": int(r["bucket"])}
+            for r in rows
+        ]
 
     def query(self, text: str, k: int = 10, method: str | None = None) -> DataFrame:
         """-> DataFrame(doc_id, conv_id, score), already in final rank order.
@@ -128,10 +143,10 @@ class IndexReader:
         entries = self.lookup_terms(terms)
         if not entries:
             return self.spark.createDataFrame([], "doc_id long, conv_id string, score double")
-        idfs = {e["term"]: idf_of(self.n_docs, int(e["df"])) for e in entries}
+        idfs = {e["term_id"]: idf_of(self.n_docs, int(e["df"])) for e in entries}
         buckets = sorted({int(e["bucket"]) for e in entries})
         cand = self.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(idfs))
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(list(idfs))
         )
         scorer = make_shard_scorer(
             idfs, k, self.avgdl, k1=self.params["k1"], b=self.params["b"], method=method
@@ -158,7 +173,11 @@ class IndexReader:
         all_terms = sorted({t for ts in toks.values() for t in ts})
         entries = {e["term"]: e for e in self.lookup_terms(all_terms)}
         query_idfs = {
-            qid: {t: idf_of(self.n_docs, int(entries[t]["df"])) for t in ts if t in entries}
+            qid: {
+                entries[t]["term_id"]: idf_of(self.n_docs, int(entries[t]["df"]))
+                for t in ts
+                if t in entries
+            }
             for qid, ts in toks.items()
         }
         query_idfs = {qid: idfs for qid, idfs in query_idfs.items() if idfs}
@@ -166,10 +185,10 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, doc_id long, conv_id string, score double"
             )
-        live_terms = sorted({t for idfs in query_idfs.values() for t in idfs})
-        buckets = sorted({int(entries[t]["bucket"]) for t in live_terms})
+        live_tids = sorted({tid for idfs in query_idfs.values() for tid in idfs})
+        buckets = sorted({int(e["bucket"]) for e in entries.values() if e["term_id"] in set(live_tids)})
         cand = self.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(live_tids)
         )
         scorer = make_multi_scorer(
             query_idfs, k, self.avgdl, k1=self.params["k1"], b=self.params["b"]

@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession
 from ..plans.build import merge_index
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import DEFAULT_BUCKETS, DEFAULT_SHARD_DOCS
+from ..sources.tables import commit, read_table, table_exists
 
 # streaming epochs are namespaced into their own src_part range so they can
 # never collide with batch-path part numbers (directory-derived small ints)
@@ -86,13 +87,10 @@ def stream_build(
         ).filter(F.col("doclen") > 0)
         docs = docs.withColumn("src_part", F.lit(src_part))
 
-        docmap_path = os.path.join(index_dir, "docmap")
         start = 0
-        if os.path.exists(docmap_path) and any(
-            d.startswith("src_part=") for d in os.listdir(docmap_path)
-        ):
+        if table_exists(index_dir, "docmap"):
             start = (
-                spark.read.parquet(docmap_path).agg(F.max("doc_id")).collect()[0][0] + 1
+                read_table(spark, index_dir, "docmap").agg(F.max("doc_id")).collect()[0][0] + 1
             )
         skinny = docs.select("conv_id", "src_part", "n_turns", "doclen")
         ids = assign_doc_ids(skinny, start=start).persist()
@@ -102,20 +100,19 @@ def stream_build(
             buckets=buckets,
             shard_docs=shard_docs,
         )
-        build_segments_packed(packed).repartition("src_part").write.mode("append").partitionBy(
-            "src_part"
-        ).parquet(os.path.join(index_dir, "segments"))
-        ids.select("doc_id", "conv_id", "doclen", "src_part").repartition("src_part").write.mode(
-            "append"
-        ).partitionBy("src_part").parquet(docmap_path)
+        commit(build_segments_packed(packed), index_dir, "segments", mode="append",
+               partition_by=["src_part"], repartition_by=["src_part"])
+        commit(ids.select("doc_id", "conv_id", "doclen", "src_part"), index_dir,
+               "docmap", mode="append", partition_by=["src_part"],
+               repartition_by=["src_part"])
         agg = ids.agg(
             F.count("*").alias("n_docs"),
             F.sum("n_turns").alias("n_turns"),
             F.countDistinct("conv_id").alias("n_convs"),
         ).collect()[0]
         seg = (
-            spark.read.option("basePath", os.path.join(index_dir, "segments"))
-            .parquet(os.path.join(index_dir, "segments", f"src_part={src_part}"))
+            read_table(spark, index_dir, "segments")
+            .filter(F.col("src_part") == src_part)
             .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
             .collect()[0]
         )
@@ -124,7 +121,7 @@ def stream_build(
         # path; a mixed batch+stream index_dir now shares one lineage table
         # with disjoint src_part namespaces, so neither mode re-ingests or
         # collides with the other's partitions
-        spark.createDataFrame(
+        lineage = spark.createDataFrame(
             [
                 (
                     src_part,
@@ -138,9 +135,8 @@ def stream_build(
             ],
             "src_part int, n_convs long, n_turns long, n_docs long, "
             "n_postings long, n_term_rows long, wall_sec double",
-        ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
-            os.path.join(index_dir, "lineage")
-        )
+        ).withColumn("ts", F.current_timestamp())
+        commit(lineage, index_dir, "lineage", mode="append")
         n_batches["n"] += 1
 
     q = (

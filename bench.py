@@ -93,6 +93,25 @@ def main() -> dict:
     print(f"query_set: {query_set}", file=sys.stderr)
 
     # --- 3. headline operator queries at sf_dir ----------------------------
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        total = time.time() - t_all
+        spark.stop()
+        shutil.rmtree(index_dir, ignore_errors=True)
+        out = {
+            "metric": "index_build_turns_per_sec",
+            "value": build["turns_per_sec"],
+            "unit": "turns/sec",
+            "queries": timings,
+            "sf": float(sf_tag),
+            "cpus": cpus,
+            "bench_scale": bench_scale,
+            "build": build,
+            "query_set": query_set,
+            "total_sec": round(total, 3),
+        }
+        print(json.dumps(out))
+        return out
+
     import __spark_entry__ as entrymod
 
     # warm the persisted documents index (build-once/query-many architecture);

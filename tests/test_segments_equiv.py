@@ -1,10 +1,9 @@
 """The three segment-build paths produce identical postings.
 
-build_segments (pre-aggregated tf, JVM xxhash bucket),
-build_segments_raw (tf counted in-UDF), and
-pack_doc_tokens→build_segments_packed (packed-array shuffle, crc bucket)
-must yield the same per-(shard, term) posting content — bucket values may
-differ (different internal hash), the postings must not.
+build_segments (pre-aggregated tf), build_segments_raw (tf counted in-UDF),
+and pack_doc_tokens→build_segments_packed (packed-array shuffle) must yield
+the same per-(shard, term_id) posting content; all three share one term_id /
+bucket hash (postings.term_id_of), so buckets are identical too.
 """
 
 import pandas as pd
@@ -27,7 +26,7 @@ def _content(seg_rows):
     for r in seg_rows:
         d = r.asDict()
         docs, tfs, dls = decode_posting_list(d)
-        out[(d["src_part"], d["shard"], d["term"])] = (
+        out[(d["src_part"], d["bucket"], d["shard"], d["term_id"])] = (
             docs.tolist(),
             tfs.tolist(),
             dls.tolist(),

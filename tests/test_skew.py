@@ -56,7 +56,9 @@ def test_hot_term_sharded_and_rank_identical(spark, tmp_path):
     build_index(spark, d, ix, buckets=4, shard_docs=shard_docs)
 
     postings = spark.read.option("basePath", f"{ix}/postings").parquet(f"{ix}/postings")
-    hot = postings.filter(F.col("term") == "user").collect()
+    from abstracts_search_spark.operators.postings import term_id_of
+
+    hot = postings.filter(F.col("term_id") == term_id_of("user")).collect()
     # the hot term is split across shards, each row bounded by the shard width
     assert len(hot) >= 4
     assert all(r["df"] <= shard_docs for r in hot)
