@@ -182,13 +182,15 @@ def make_multi_scorer(
     """
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[int, tuple] = {}
+        # a term may appear in MULTIPLE rows of one shard (one per index
+        # generation, disjoint doc sub-ranges) — accumulate, never overwrite
+        decoded: dict[int, list[tuple]] = {}
         base = int(pdf["first_doc"].min())
         hi = int(pdf["last_doc"].max())
         width = hi - base + 1
         for r in pdf.to_dict("records"):
             docs, tfs, dls = decode_posting_list(r)
-            decoded[r["term_id"]] = (docs, tfs, dls)
+            decoded.setdefault(r["term_id"], []).append((docs, tfs, dls))
         out_q, out_d, out_s = [], [], []
         for qid, idfs in query_idfs.items():
             acc = np.zeros(width, dtype=np.float64)
@@ -199,10 +201,12 @@ def make_multi_scorer(
                 if got is None:
                     continue
                 hit = True
-                docs, tfs, dls = got
-                idx = docs - base
-                acc += np.bincount(idx, weights=_contrib(idf, tfs, dls, k1, b, avgdl), minlength=width)
-                touched[idx] = True
+                for docs, tfs, dls in got:
+                    idx = docs - base
+                    acc += np.bincount(
+                        idx, weights=_contrib(idf, tfs, dls, k1, b, avgdl), minlength=width
+                    )
+                    touched[idx] = True
             if not hit:
                 continue
             cand = np.flatnonzero(touched)

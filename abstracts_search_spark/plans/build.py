@@ -46,8 +46,9 @@ from ..operators.postings import (
 )
 from ..sources.tables import commit, read_table, table_exists
 
-# bumped whenever the on-disk artifact schema changes (2 = int64 term_id keys)
-INDEX_FORMAT = 2
+# bumped whenever the on-disk artifact schema changes
+# (2 = int64 term_id keys; 3 = generation-stacked postings/gen=G/bucket=B)
+INDEX_FORMAT = 3
 
 
 def list_source_partitions(transcripts_dir: str) -> list[int]:
@@ -234,8 +235,8 @@ def build_doc_index(
         .persist()
     )
     packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
-    postings = merge_segments(build_segments_packed(packed))
-    commit(postings, index_dir, "postings", partition_by=["bucket"],
+    postings = merge_segments(build_segments_packed(packed)).withColumn("gen", F.lit(0))
+    commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
            repartition_by=["bucket"], sort_by=["term_id"])
 
     merged = read_table(spark, index_dir, "postings")
@@ -270,6 +271,8 @@ def build_doc_index(
                 "block_size": BLOCK_SIZE,
                 "format": INDEX_FORMAT,
                 "tie_break": "score DESC, doc_id ASC",
+                "merged_parts": [0],
+                "next_gen": 1,
             },
             f,
         )
@@ -280,22 +283,74 @@ def merge_index(
     index_dir: str,
     buckets: int = DEFAULT_BUCKETS,
     shard_docs: int = DEFAULT_SHARD_DOCS,
+    incremental: bool = True,
 ) -> None:
-    """Global merge: segments -> postings/dictionary/stats (+ params.json).
+    """Merge segments -> postings/dictionary/stats (+ params.json).
 
-    Derived artifacts only — rerunning after any crash reproduces them from
-    segments + docmap (the `make recover` property).
+    **Generation-stacked merge-on-read**: the first merge writes all postings
+    as ``gen=0``; every later sync merges ONLY the segments of source
+    partitions that arrived since (tracked in params.json's ``merged_parts``)
+    and appends them as a new ``gen=G`` — a quarterly sync at 100 TB decodes
+    and re-encodes just the new partitions, never the standing index.
+    Correctness: new docs have new doc_ids, so a (term_id, shard) list split
+    across generations covers DISJOINT doc ranges; the shard scorers treat
+    each generation row as an independent posting list (WAND opens a cursor
+    per row; TAAT accumulates), so rankings are identical to a from-scratch
+    build (tested). `incremental=False` compacts everything back to gen=0.
+
+    Derived artifacts only — params.json (which carries the merge state) is
+    written LAST, so destroying postings/dictionary/stats/params.json and
+    rerunning reproduces them from segments + docmap (the `make recover`
+    property). A crash after the gen append but before params.json lands is
+    healed by the gen scrub below (uncommitted generations are re-derived).
     """
     if not table_exists(index_dir, "segments"):
         return
+    state: dict = {}
+    params_path = os.path.join(index_dir, "params.json")
+    if incremental and os.path.exists(params_path):
+        with open(params_path) as f:
+            state = json.load(f)
+        if state.get("format") != INDEX_FORMAT:
+            state = {}
+    merged_parts = set(state.get("merged_parts", []))
+    next_gen = int(state.get("next_gen", 0))
+
+    # scrub uncommitted generations (appended, then crashed before the
+    # params.json state marker) so reruns are idempotent
+    postings_root = os.path.join(index_dir, "postings")
+    if os.path.exists(postings_root):
+        for d in os.listdir(postings_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
+                shutil.rmtree(os.path.join(postings_root, d))
+
     segments = read_table(spark, index_dir, "segments")
-    postings = merge_segments(segments)
+    seg_parts = {
+        int(r["src_part"]) for r in segments.select("src_part").distinct().collect()
+    }
+    new_parts = sorted(seg_parts - merged_parts)
+    if merged_parts and not new_parts:
+        return  # nothing new since the last sync
+
     # term_id-sorted within each bucket file: parquet row-group min/max stats
     # on `term_id` let query-time term predicates prune row groups (the
     # within-file analog of bucket partition pruning)
-    commit(postings, index_dir, "postings", partition_by=["bucket"],
-           repartition_by=["bucket"], sort_by=["term_id"])
+    if not merged_parts:
+        postings = merge_segments(segments).withColumn("gen", F.lit(0))
+        commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
+               repartition_by=["bucket"], sort_by=["term_id"])
+        merged_parts, next_gen = set(seg_parts), 1
+    else:
+        fresh = segments.filter(F.col("src_part").isin(new_parts))
+        postings = merge_segments(fresh).withColumn("gen", F.lit(next_gen))
+        commit(postings, index_dir, "postings", mode="append",
+               partition_by=["gen", "bucket"], repartition_by=["bucket"],
+               sort_by=["term_id"])
+        merged_parts |= set(new_parts)
+        next_gen += 1
 
+    # dictionary/stats are global (df sums across generations): cheap
+    # re-aggregations over compact encoded rows, not a postings re-encode
     merged = read_table(spark, index_dir, "postings")
     commit(
         merged.groupBy("term_id").agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket")),
@@ -312,16 +367,29 @@ def merge_index(
         index_dir, "stats",
     )
 
-    with open(os.path.join(index_dir, "params.json"), "w") as f:
-        json.dump(
-            {
-                "k1": K1,
-                "b": B_BM25,
-                "buckets": buckets,
-                "shard_docs": shard_docs,
-                "block_size": BLOCK_SIZE,
-                "format": INDEX_FORMAT,
-                "tie_break": "score DESC, doc_id ASC",
-            },
-            f,
-        )
+    params = {
+        "k1": K1,
+        "b": B_BM25,
+        "buckets": buckets,
+        "shard_docs": shard_docs,
+        "block_size": BLOCK_SIZE,
+        "format": INDEX_FORMAT,
+        "tie_break": "score DESC, doc_id ASC",
+        "merged_parts": sorted(int(p) for p in merged_parts),
+        "next_gen": next_gen,
+    }
+    if "method" in state:  # keep the tune_index winner across syncs
+        params["method"] = state["method"]
+    with open(params_path, "w") as f:
+        json.dump(params, f)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> None:
+    """Fold all generations back into gen=0 (full re-merge from segments) —
+    run occasionally so query-time generation fan-out stays bounded."""
+    merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs, incremental=False)
