@@ -54,6 +54,16 @@ def doclen_udf(texts: pd.Series) -> pd.Series:
     return texts.str.count(TOKEN_PATTERN).fillna(0).astype("int32")
 
 
+def doclen_expr(col: Column | str) -> Column:
+    """JVM token count: size(regexp_extract_all(text, pattern)) — a codegen
+    expression, NOT a higher-order function and NOT a Python UDF, so the
+    assembly stage that sums per-turn doclens stays whole-stage-codegen with
+    zero Python workers. Verified equal to :func:`doclen_udf` (tests): the
+    pattern is pure-ASCII, so Java and Python regex agree on every input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(TOKEN_PATTERN)).cast("int")
+
+
 def tokens_expr(col: Column | str) -> Column:
     """Catalyst-only equivalent of :func:`tokenize_udf` (verified equal)."""
     c = F.col(col) if isinstance(col, str) else col

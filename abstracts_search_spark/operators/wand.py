@@ -221,11 +221,24 @@ def make_multi_scorer(
 
 
 def make_shard_scorer(idfs: dict[int, float], k: int, avgdl: float,
-                      k1: float = K1, b: float = B_BM25, method: str = "bmw"):
-    """Returns an applyInPandas function: one shard's posting rows -> top-k."""
-    fn = wand_topk if method == "bmw" else taat_topk
+                      k1: float = K1, b: float = B_BM25, method: str = "auto"):
+    """Returns an applyInPandas function: one shard's posting rows -> top-k.
+
+    ``method``: "bmw" (block-max WAND), "taat" (vectorized), or "auto" —
+    decided PER SHARD from candidate density: when the query terms' postings
+    cover a large fraction of the shard's doc range, block skipping can't
+    prune much and the zero-Python-per-doc TAAT path wins; on selective
+    queries WAND decodes only surviving blocks. Both are exact, so the switch
+    can never change a ranking (tested).
+    """
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = method
+        if m == "auto":
+            width = int(pdf["last_doc"].max()) - int(pdf["first_doc"].min()) + 1
+            # ≥ one posting per 4 docs of range → dense → vectorized TAAT
+            m = "taat" if int(pdf["df"].sum()) * 4 >= width else "bmw"
+        fn = wand_topk if m == "bmw" else taat_topk
         rows = pdf.to_dict("records")
         top = fn(rows, idfs, k, k1, b, avgdl)
         return pd.DataFrame({"doc_id": [d for d, _ in top], "score": [s for _, s in top]})

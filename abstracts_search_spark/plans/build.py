@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .. import B_BM25, K1
 from ..codecs.postings import BLOCK_SIZE
-from ..functions.tokenize import doclen_udf
+from ..functions.tokenize import doclen_expr
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import (
     DEFAULT_BUCKETS,
@@ -115,7 +115,7 @@ def build_index(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
             F.first("part").alias("src_part"),
-            F.sum(doclen_udf("text")).cast("int").alias("doclen"),
+            F.sum(doclen_expr("text")).cast("int").alias("doclen"),
         ).persist()
 
         # docIDs are assigned on a SKINNY projection (conv_id + scalars) so the
@@ -144,7 +144,8 @@ def build_index(
         # cost (the reference controls file layout the same way: --shard-size,
         # /root/reference/Makefile:48)
         commit(segments, index_dir, "segments", mode="append",
-               partition_by=["src_part"], repartition_by=["src_part"])
+               partition_by=["src_part"], repartition_by=["src_part"],
+               compression="uncompressed")
 
         commit(ids.select("doc_id", "conv_id", "doclen", "src_part"), index_dir,
                "docmap", mode="append", partition_by=["src_part"],
@@ -228,7 +229,7 @@ def build_doc_index(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.lit(0).alias("src_part"),
-            doclen_udf(F.col(text_col)).cast("int").alias("doclen"),
+            doclen_expr(F.col(text_col)).cast("int").alias("doclen"),
             F.col(text_col).alias("document"),
         )
         .filter(F.col("doclen") > 0)
@@ -237,7 +238,7 @@ def build_doc_index(
     packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
     postings = merge_segments(build_segments_packed(packed)).withColumn("gen", F.lit(0))
     commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
-           repartition_by=["bucket"], sort_by=["term_id"])
+           repartition_by=["bucket"], sort_by=["term_id"], compression="uncompressed")
 
     merged = read_table(spark, index_dir, "postings")
     commit(
@@ -338,14 +339,15 @@ def merge_index(
     if not merged_parts:
         postings = merge_segments(segments).withColumn("gen", F.lit(0))
         commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
-               repartition_by=["bucket"], sort_by=["term_id"])
+               repartition_by=["bucket"], sort_by=["term_id"],
+               compression="uncompressed")
         merged_parts, next_gen = set(seg_parts), 1
     else:
         fresh = segments.filter(F.col("src_part").isin(new_parts))
         postings = merge_segments(fresh).withColumn("gen", F.lit(next_gen))
         commit(postings, index_dir, "postings", mode="append",
                partition_by=["gen", "bucket"], repartition_by=["bucket"],
-               sort_by=["term_id"])
+               sort_by=["term_id"], compression="uncompressed")
         merged_parts |= set(new_parts)
         next_gen += 1
 

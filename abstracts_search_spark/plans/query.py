@@ -136,9 +136,10 @@ class IndexReader:
         """-> DataFrame(doc_id, conv_id, score), already in final rank order.
 
         ``method`` defaults to the tuned value in params.json (plans/tune.py),
-        falling back to block-max WAND.
+        falling back to per-shard auto selection (TAAT on dense candidate
+        sets, block-max WAND on selective ones).
         """
-        method = method or self.params.get("method", "bmw")
+        method = method or self.params.get("method", "auto")
         terms = sorted(set(tokenize_pd(pd.Series([text]))[0]))
         entries = self.lookup_terms(terms)
         if not entries:

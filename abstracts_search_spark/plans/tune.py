@@ -30,7 +30,7 @@ def tune_index(
         sample_queries = [q for _, q in gen_queries(n=12)]
     reader = IndexReader(spark, index_dir)
     timings: dict[str, float] = {}
-    for method in ("bmw", "taat"):
+    for method in ("bmw", "taat", "auto"):
         t0 = time.time()
         for q in sample_queries:
             reader.query(q, k=k, method=method).collect()

@@ -87,12 +87,17 @@ def commit(
     partition_by: list[str] | None = None,
     repartition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Write one index artifact table.
 
     ``repartition_by`` co-partitions the write with the directory layout (one
     file per partition dir — file count is driver-serial cost); ``sort_by``
     orders rows within files so parquet row-group min/max stats prune reads.
+    ``compression`` overrides the parquet codec — posting/segment blobs are
+    already-varint-packed high-entropy bytes, so general-purpose compression
+    wastes CPU + memory bandwidth for near-zero ratio; those tables pass
+    "uncompressed".
     """
     out = df
     if repartition_by:
@@ -116,6 +121,8 @@ def commit(
     path = os.path.join(root, name)
     if mode == "append":
         writer = out.write.mode("append")
+        if compression:
+            writer = writer.option("compression", compression)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -128,6 +135,8 @@ def commit(
         if os.path.exists(d):
             shutil.rmtree(d)
     writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

@@ -51,7 +51,7 @@ def stream_build(
     """
     from pyspark.sql import functions as F
 
-    from ..functions.tokenize import doclen_udf
+    from ..functions.tokenize import doclen_expr
     from ..operators.postings import build_segments_packed, pack_doc_tokens
 
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
@@ -83,7 +83,7 @@ def stream_build(
         docs = turns.groupBy("conv_id").agg(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
-            F.sum(doclen_udf("text")).cast("int").alias("doclen"),
+            F.sum(doclen_expr("text")).cast("int").alias("doclen"),
         ).filter(F.col("doclen") > 0)
         docs = docs.withColumn("src_part", F.lit(src_part))
 
@@ -101,7 +101,8 @@ def stream_build(
             shard_docs=shard_docs,
         )
         commit(build_segments_packed(packed), index_dir, "segments", mode="append",
-               partition_by=["src_part"], repartition_by=["src_part"])
+               partition_by=["src_part"], repartition_by=["src_part"],
+               compression="uncompressed")
         commit(ids.select("doc_id", "conv_id", "doclen", "src_part"), index_dir,
                "docmap", mode="append", partition_by=["src_part"],
                repartition_by=["src_part"])

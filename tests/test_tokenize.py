@@ -46,3 +46,25 @@ def test_duckdb_oracle_matches():
     expected = tokenize_pd(df["text"])
     for i, (toks,) in enumerate(rows):
         assert list(toks) == expected[i]
+
+
+def test_doclen_expr_equals_udf(spark):
+    from abstracts_search_spark.functions.tokenize import doclen_expr, doclen_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "The cat sat. 42 times!"),
+        (1, None),
+        (2, ""),
+        (3, "  ---  "),
+        (4, "a" * 5000 + " b2c"),
+        (5, "Ünïcödé sépàrätors stay separators: çà12çb"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = df.select(
+        "i",
+        doclen_expr("t").alias("jvm"),
+        F.coalesce(doclen_udf(F.col("t")), F.lit(0)).alias("py"),
+    ).collect()
+    for r in got:
+        assert r["jvm"] == r["py"], r
