@@ -37,11 +37,16 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("tune", help="sweep query params -> params.json")
     t.add_argument("--index", required=True)
 
+    c = sub.add_parser("compact", help="fold postings generations back to gen=0")
+    c.add_argument("--index", required=True)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--shard-docs", type=int, default=1 << 14)
+
     q = sub.add_parser("query", help="top-k BM25 query")
     q.add_argument("--index", required=True)
     q.add_argument("--text", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--method", choices=["bmw", "taat"], default=None)
+    q.add_argument("--method", choices=["bmw", "taat", "auto"], default=None)
 
     args = p.parse_args(argv)
 
@@ -68,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
             from abstracts_search_spark.plans.tune import tune_index
 
             print(json.dumps(tune_index(spark, args.index)))
+        elif args.cmd == "compact":
+            from abstracts_search_spark.plans.build import compact_index
+
+            compact_index(spark, args.index, buckets=args.buckets, shard_docs=args.shard_docs)
+            print(json.dumps({"compacted": args.index}))
         elif args.cmd == "query":
             from abstracts_search_spark.plans.query import IndexReader
 

@@ -1,7 +1,17 @@
 from .assemble import assemble_documents
 from .docids import assign_doc_ids
 from .bm25_brute import bm25_score_all, bm25_topk_brute
+from .dedup import (
+    embedding_dup_lsh,
+    embedding_dup_pairs,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+)
+from .similarity import ann_lsh_topk, cosine_pairs_lsh, cosine_topk
 from .stats import corpus_stats, term_df
+from .textstats import fingerprint, lang_id, quality_score, token_counts
 
 __all__ = [
     "assemble_documents",
@@ -10,4 +20,17 @@ __all__ = [
     "term_df",
     "bm25_score_all",
     "bm25_topk_brute",
+    "exact_dup_groups",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "embedding_dup_pairs",
+    "embedding_dup_lsh",
+    "cosine_topk",
+    "cosine_pairs_lsh",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprint",
 ]

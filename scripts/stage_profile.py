@@ -57,6 +57,9 @@ def main():
     for dirpath, _, files in os.walk(evt_dir):
         logs.extend(os.path.join(dirpath, f) for f in files if "events" in f)
     stages = []
+    run_ms: dict[int, float] = {}
+    fetch_ms: dict[int, float] = {}
+    gc_ms: dict[int, float] = {}
     for path in logs:
         with open(path, errors="ignore") as fh:
             for line in fh:
@@ -64,7 +67,14 @@ def main():
                     e = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if e.get("Event") == "SparkListenerStageCompleted":
+                if e.get("Event") == "SparkListenerTaskEnd":
+                    sid = e["Stage ID"]
+                    tm = e.get("Task Metrics") or {}
+                    run_ms[sid] = run_ms.get(sid, 0.0) + tm.get("Executor Run Time", 0)
+                    gc_ms[sid] = gc_ms.get(sid, 0.0) + tm.get("JVM GC Time", 0)
+                    sr = tm.get("Shuffle Read Metrics") or {}
+                    fetch_ms[sid] = fetch_ms.get(sid, 0.0) + sr.get("Fetch Wait Time", 0)
+                elif e.get("Event") == "SparkListenerStageCompleted":
                     si = e["Stage Info"]
                     sub = si.get("Submission Time")
                     comp = si.get("Completion Time")
@@ -78,9 +88,15 @@ def main():
                     )
     stages.sort(key=lambda s: -(s["wall_s"] or 0))
     print(json.dumps({"cpus": cpus, "scale": scale, "build_wall_s": round(wall, 2),
-                      "turns_per_sec": round(metrics["turns_per_sec"], 1)}))
+                      "turns_per_sec": round(metrics["turns_per_sec"], 1),
+                      "total_core_s": round(sum(run_ms.values()) / 1000, 1),
+                      "total_gc_s": round(sum(gc_ms.values()) / 1000, 1)}))
     for s in stages[:14]:
-        print(f"  stage {s['stage']:>3}  {s['wall_s']:>8}s  {s['tasks']:>5} tasks  {s['name']}")
+        cs = round(run_ms.get(s["stage"], 0) / 1000, 1)
+        fw = round(fetch_ms.get(s["stage"], 0) / 1000, 2)
+        gc = round(gc_ms.get(s["stage"], 0) / 1000, 1)
+        print(f"  stage {s['stage']:>3}  wall {s['wall_s']:>7}s  core {cs:>8}s  "
+              f"gc {gc:>6}s  fetchwait {fw:>6}s  {s['tasks']:>5} tasks  {s['name']}")
     shutil.rmtree(evt_dir, ignore_errors=True)
     shutil.rmtree(ix, ignore_errors=True)
 
