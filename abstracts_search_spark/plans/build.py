@@ -238,7 +238,8 @@ def build_doc_index(
     packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
     postings = merge_segments(build_segments_packed(packed)).withColumn("gen", F.lit(0))
     commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
-           repartition_by=["bucket"], sort_by=["term_id"], compression="uncompressed")
+           repartition_by=["bucket"], sort_by=["term_id"], compression="uncompressed",
+           row_group_bytes=8 << 20)
 
     merged = read_table(spark, index_dir, "postings")
     commit(
@@ -340,14 +341,15 @@ def merge_index(
         postings = merge_segments(segments).withColumn("gen", F.lit(0))
         commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
                repartition_by=["bucket"], sort_by=["term_id"],
-               compression="uncompressed")
+               compression="uncompressed", row_group_bytes=8 << 20)
         merged_parts, next_gen = set(seg_parts), 1
     else:
         fresh = segments.filter(F.col("src_part").isin(new_parts))
         postings = merge_segments(fresh).withColumn("gen", F.lit(next_gen))
         commit(postings, index_dir, "postings", mode="append",
                partition_by=["gen", "bucket"], repartition_by=["bucket"],
-               sort_by=["term_id"], compression="uncompressed")
+               sort_by=["term_id"], compression="uncompressed",
+               row_group_bytes=8 << 20)
         merged_parts |= set(new_parts)
         next_gen += 1
 

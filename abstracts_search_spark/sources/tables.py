@@ -88,6 +88,7 @@ def commit(
     repartition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     compression: str | None = None,
+    row_group_bytes: int | None = None,
 ) -> None:
     """Write one index artifact table.
 
@@ -97,7 +98,10 @@ def commit(
     ``compression`` overrides the parquet codec — posting/segment blobs are
     already-varint-packed high-entropy bytes, so general-purpose compression
     wastes CPU + memory bandwidth for near-zero ratio; those tables pass
-    "uncompressed".
+    "uncompressed". ``row_group_bytes`` sets parquet.block.size — postings
+    use small row groups so the pushed In(term_id,…) predicate prunes at
+    row-group granularity inside each bucket file (the reference controls
+    the same knob: --row-group-size, /root/reference/Makefile:48).
     """
     out = df
     if repartition_by:
@@ -123,6 +127,8 @@ def commit(
         writer = out.write.mode("append")
         if compression:
             writer = writer.option("compression", compression)
+        if row_group_bytes:
+            writer = writer.option("parquet.block.size", str(row_group_bytes))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -137,6 +143,8 @@ def commit(
     writer = out.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
