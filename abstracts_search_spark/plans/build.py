@@ -151,26 +151,39 @@ def build_index(
                "docmap", mode="append", partition_by=["src_part"],
                repartition_by=["src_part"])
 
-        per_part = {
-            r["src_part"]: r
-            for r in ids.groupBy("src_part")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_turns").alias("n_turns"),
-                F.countDistinct("conv_id").alias("n_convs"),
-            )
-            .collect()
-        }
-        # per-partition index metrics from the segments just written (cheap:
-        # compact encoded rows, one small agg job) — north_rule "lineage + metrics"
-        seg_stats = {
-            r["src_part"]: r
-            for r in read_table(spark, index_dir, "segments")
-            .filter(F.col("src_part").isin([int(p) for p in pending]))
-            .groupBy("src_part")
-            .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
-            .collect()
-        }
+        # the two metric aggregations are independent jobs over different
+        # tables — submit them CONCURRENTLY from driver threads (Spark's
+        # scheduler interleaves jobs fine); small-job latency is driver-serial
+        # cost that would otherwise add up at the end of every build
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _per_part():
+            return {
+                r["src_part"]: r
+                for r in ids.groupBy("src_part")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_turns").alias("n_turns"),
+                    F.countDistinct("conv_id").alias("n_convs"),
+                )
+                .collect()
+            }
+
+        def _seg_stats():
+            # per-partition index metrics from the segments just written
+            # (cheap: compact encoded rows) — north_rule "lineage + metrics"
+            return {
+                r["src_part"]: r
+                for r in read_table(spark, index_dir, "segments")
+                .filter(F.col("src_part").isin([int(p) for p in pending]))
+                .groupBy("src_part")
+                .agg(F.sum("df").alias("n_postings"), F.count("*").alias("n_term_rows"))
+                .collect()
+            }
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_pp, f_ss = pool.submit(_per_part), pool.submit(_seg_stats)
+            per_part, seg_stats = f_pp.result(), f_ss.result()
         docs.unpersist()
         ids.unpersist()
         wall = time.time() - t0
@@ -354,22 +367,34 @@ def merge_index(
         next_gen += 1
 
     # dictionary/stats are global (df sums across generations): cheap
-    # re-aggregations over compact encoded rows, not a postings re-encode
-    merged = read_table(spark, index_dir, "postings")
-    commit(
-        merged.groupBy("term_id").agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket")),
-        index_dir, "dictionary",
-    )
+    # re-aggregations over compact encoded rows, not a postings re-encode.
+    # They read different tables — run the two jobs concurrently.
+    from concurrent.futures import ThreadPoolExecutor
 
+    merged = read_table(spark, index_dir, "postings")
     docmap = read_table(spark, index_dir, "docmap")
-    commit(
-        docmap.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doclen").alias("avgdl"),
-            F.sum("doclen").alias("total_tokens"),
-        ),
-        index_dir, "stats",
-    )
+
+    def _dictionary():
+        commit(
+            merged.groupBy("term_id").agg(
+                F.sum("df").alias("df"), F.first("bucket").alias("bucket")
+            ),
+            index_dir, "dictionary",
+        )
+
+    def _stats():
+        commit(
+            docmap.agg(
+                F.count("*").alias("n_docs"),
+                F.avg("doclen").alias("avgdl"),
+                F.sum("doclen").alias("total_tokens"),
+            ),
+            index_dir, "stats",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_dictionary), pool.submit(_stats)]:
+            f.result()
 
     params = {
         "k1": K1,

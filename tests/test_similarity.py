@@ -67,7 +67,7 @@ def test_tuned_method_used(spark, small_dir, tmp_path):
     ix = str(tmp_path / "ix2")
     build_index(spark, small_dir, ix, buckets=8, shard_docs=64)
     params = tune_index(spark, ix, sample_queries=["index merge", "user assistant"])
-    assert params["method"] in ("bmw", "taat")
+    assert params["method"] in ("bmw", "taat", "auto")
     reader = IndexReader(spark, ix)
     assert reader.params["method"] == params["method"]
     assert reader.query("index merge", k=5).count() == 5
