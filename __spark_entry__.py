@@ -357,8 +357,6 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
 
 def _ann_lsh_sql(spark_unused=None) -> str:
     # plane constants are deterministic (seed=42, dim=64) — embed as literals
-    import numpy as np
-
     planes = similarity.hyperplanes(64, 8, 42)
     dot_q = "list_dot_product(qv, qv)"
     bucket_cases = " + ".join(

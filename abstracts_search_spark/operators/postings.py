@@ -28,8 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codecs.postings import BLOCK_SIZE
-
 DEFAULT_BUCKETS = 64
 # docID-range tile per shard: bounds merge-group width AND sets the
 # parallelism floor of merge + query scoring (one group per (bucket, shard));

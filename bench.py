@@ -43,7 +43,7 @@ def main() -> dict:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
 
     from abstracts_search_spark.session import build_spark
-    from abstracts_search_spark.sources.transcripts import SCALES, gen_queries, gen_transcripts
+    from abstracts_search_spark.sources.transcripts import gen_queries, gen_transcripts
     from abstracts_search_spark.plans.build import build_index
     from abstracts_search_spark.plans.query import IndexReader
 
