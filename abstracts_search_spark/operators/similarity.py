@@ -130,6 +130,7 @@ def cosine_pairs_lsh(
     max_bucket: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded hyperplane LSH — the 100 TB path.
 
@@ -146,6 +147,15 @@ def cosine_pairs_lsh(
     near-certainty. Deterministic for fixed seed, so the driver oracle
     replicates the exact same pruning in SQL.
     -> (vec_a, vec_b, cos) top `top` by (cos DESC, vec_a, vec_b).
+
+    Exchange shape: only narrow (vid, band, bucket) rows go through the
+    band explode + guard; the vectors are re-joined AFTER guard pruning, in
+    their original (typically float32) storage width, and widened to float64
+    only inside the per-bucket GEMM — identical numbers to scoring float64
+    end-to-end (float32→float64 widening is exact), at a fraction of the
+    shuffle bytes. ``carry_vectors=True`` restores the old
+    vector-through-explode plan; it exists solely so the shuffle-bytes win is
+    measurable on the same input (scripts/shuffle_profile.py).
     """
     from typing import Iterator
 
@@ -165,18 +175,21 @@ def cosine_pairs_lsh(
             m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             bits = (m @ all_planes.T >= 0).reshape(len(pdf), bands, n_planes)
             buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, bands)
-            yield pd.DataFrame(
-                {
-                    "vid": pdf[id_col].to_numpy(),
-                    "vec": [list(map(float, row)) for row in m],
-                    "bks": list(buckets),
-                }
-            )
+            out = {"vid": pdf[id_col].to_numpy(), "bks": list(buckets)}
+            if carry_vectors:
+                out["vec"] = [row for row in m]
+            yield pd.DataFrame(out)
 
-    per_vec = emb.select(id_col, vec_col).mapInPandas(
-        bucketize, schema="vid long, vec array<double>, bks array<int>"
-    )
-    banded = per_vec.select("vid", "vec", F.posexplode("bks").alias("band", "bucket"))
+    if carry_vectors:  # measurement baseline: float64 vectors ride the explode
+        per_vec = emb.select(id_col, vec_col).mapInPandas(
+            bucketize, schema="vid long, bks array<int>, vec array<double>"
+        )
+        banded = per_vec.select("vid", "vec", F.posexplode("bks").alias("band", "bucket"))
+    else:
+        per_vec = emb.select(id_col, vec_col).mapInPandas(
+            bucketize, schema="vid long, bks array<int>"
+        )
+        banded = per_vec.select("vid", F.posexplode("bks").alias("band", "bucket"))
     guard = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("bsz"))
@@ -184,10 +197,16 @@ def cosine_pairs_lsh(
         .select("band", "bucket")
     )
     cand = banded.join(F.broadcast(guard), ["band", "bucket"])
+    if not carry_vectors:
+        # vectors join the surviving candidates at storage width (array<float>)
+        vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        cand = cand.join(vecs, "vid")
 
     def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf.sort_values("vid")
-        m = np.stack(a["vec"].to_numpy())
+        # widen to float64 HERE (exact for float32 storage) — the GEMM and the
+        # oracle both compute in doubles regardless of what the shuffle carried
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in a["vec"]])
         cos = (m @ m.T) / np.outer(np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1))
         ids = a["vid"].to_numpy()
         ia, ib = np.meshgrid(ids, ids, indexing="ij")
@@ -244,10 +263,15 @@ def build_ann_index(
     The on-disk analog of the reference's IVF fill (/root/reference/
     Makefile:24-25): vectors grouped into inverted lists by coarse bucket so a
     query reads only its probed buckets' FILES (partition pruning), not just
-    filters them post-scan. params sidecar records the plane seed.
+    filters them post-scan. Written through the table facade like every other
+    index artifact, so a rebuild-overwrite is crash-atomic (tmp→swap);
+    ann_params.json (the plane seed sidecar) lands LAST as the completeness
+    marker.
     """
     import json
     import os
+
+    from ..sources.tables import commit
 
     planes = hyperplanes(_dim_of(emb, vec_col), n_planes, seed)
     bucketed = emb.select(
@@ -255,9 +279,7 @@ def build_ann_index(
         F.col(vec_col).alias("embedding"),
         bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    bucketed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "vectors")
-    )
+    commit(bucketed, out_dir, "vectors", partition_by=["bucket"], repartition_by=["bucket"])
     with open(os.path.join(out_dir, "ann_params.json"), "w") as f:
         json.dump({"n_planes": n_planes, "seed": seed, "dim": int(planes.shape[1])}, f)
 
@@ -274,6 +296,8 @@ def ann_index_topk(
     import json
     import os
 
+    from ..sources.tables import read_table
+
     with open(os.path.join(out_dir, "ann_params.json")) as f:
         p = json.load(f)
     planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
@@ -285,9 +309,7 @@ def ann_index_topk(
     probe = {qsig} | (
         {qsig ^ (1 << i) for i in range(p["n_planes"])} if probe_hamming >= 1 else set()
     )
-    vectors = spark.read.option("basePath", os.path.join(out_dir, "vectors")).parquet(
-        os.path.join(out_dir, "vectors")
-    )
+    vectors = read_table(spark, out_dir, "vectors")
     cand = vectors.filter(F.col("bucket").isin(sorted(probe)))  # partition pruning
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(

@@ -4,12 +4,15 @@ Two exact scorers run per (shard) group inside ``applyInPandas`` — shards
 tile the docID space disjointly, so per-shard top-k → global
 TakeOrderedAndProject(k) is exact:
 
-- ``bmw``  — document-at-a-time block-max WAND (Ding & Suel style): block
-  skipping uses per-block (max_tf, min_dl) upper bounds computed with LIVE
-  corpus stats, and blocks that can't beat the running threshold θ are never
-  DECODED (block-restarted varint streams make per-block decode possible).
-  The analog of FAISS-IVF probing only nprobe inverted lists
-  (/root/reference/Makefile:24-25; README.md:16).
+- ``bmw``  — zone-vectorized block-max WAND: per-block (max_tf, min_dl)
+  upper bounds (computed with LIVE corpus stats) are folded into per-ZONE
+  bounds (zones = doc ranges cut at the union of block boundaries); zones are
+  scored whole-zone with numpy in descending-bound order and the loop stops
+  when the k-th score meets the next bound. Blocks that can't beat θ are
+  never DECODED (block-restarted varint streams make per-block decode
+  possible). The analog of FAISS-IVF probing only nprobe inverted lists
+  (/root/reference/Makefile:24-25; README.md:16). The classic per-document
+  pivot walk is kept as ``wand_topk_docwise`` for cross-check tests.
 - ``taat`` — term-at-a-time vectorized scoring: numpy bincount accumulation
   over the shard's bounded doc range. No skipping, but zero Python-per-doc
   work; wins when query terms are hot (dense lists).
@@ -99,10 +102,90 @@ class _Cursor:
 
 
 def wand_topk(rows: list[dict], idfs: dict[int, float], k: int, k1: float, b: float, avgdl: float):
-    """Exact block-max WAND over one shard's candidate lists.
+    """Exact block-max top-k, fully vectorized (zone-at-a-time).
+
+    The docID space is cut into ZONES at the union of every list's block
+    boundaries, so each zone is covered by exactly ONE block per list and a
+    doc's full score always accumulates inside its one zone. Zones are
+    processed in descending upper-bound order (Σ covering blocks' block-max
+    UBs); once the running k-th score θ meets the next zone's UB, every
+    remaining zone is provably below θ and the loop stops. Surviving zones are
+    scored whole-zone with numpy (block decode is cached per list) — Python
+    cost is O(zones processed × terms), never O(docs), which is the
+    vectorization of classic per-document WAND pivoting.
 
     Pruning is strict (< θ only), so score ties are always fully evaluated and
     the (score DESC, doc_id ASC) order matches brute force exactly.
+    """
+    # per-list block metadata: boundaries + live-stats upper bounds
+    lists = []
+    for r in rows:
+        idf = idfs[r["term_id"]]
+        bl = np.asarray(r["block_last"], dtype=np.int64)
+        max_tf = np.asarray(r["block_max_tf"], dtype=np.float64)
+        min_dl = np.asarray(r["block_min_dl"], dtype=np.float64)
+        ub = idf * max_tf * (k1 + 1.0) / (max_tf + k1 * (1.0 - b + b * min_dl / avgdl))
+        lists.append((r, idf, bl, ub))
+
+    ends = np.unique(np.concatenate([bl for _, _, bl, _ in lists]))
+    nz = ends.shape[0]
+    zone_ub = np.zeros(nz, dtype=np.float64)
+    cover = []  # per list: block index covering each zone (== n_blocks → none)
+    for _, _, bl, ub in lists:
+        idx = np.searchsorted(bl, ends, side="left")
+        valid = idx < bl.shape[0]
+        zone_ub += np.where(valid, ub[np.minimum(idx, ub.shape[0] - 1)], 0.0)
+        cover.append((idx, valid))
+
+    order = np.argsort(-zone_ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -1.0
+    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    for zi in order:
+        zub = float(zone_ub[zi])
+        if zub <= 0.0 or (top_docs.shape[0] >= k and zub < theta):
+            break  # descending UB order → every remaining zone is dead too
+        lo = int(ends[zi - 1]) if zi > 0 else -1
+        hi = int(ends[zi])
+        parts_d, parts_c = [], []
+        for li, (idx, valid) in enumerate(cover):
+            if not valid[zi]:
+                continue
+            bi = int(idx[zi])
+            got = cache.get((li, bi))
+            if got is None:
+                row, idf, _, _ = lists[li]
+                docs, tfs, dls = decode_block(row, bi)
+                got = (docs, _contrib(idf, tfs, dls, k1, b, avgdl))
+                cache[(li, bi)] = got
+            docs, contribs = got
+            a = int(np.searchsorted(docs, lo, side="right"))
+            e = int(np.searchsorted(docs, hi, side="right"))
+            if a < e:
+                parts_d.append(docs[a:e])
+                parts_c.append(contribs[a:e])
+        if not parts_d:
+            continue
+        zdocs = np.concatenate(parts_d)
+        zcontrib = np.concatenate(parts_c)
+        u, inv = np.unique(zdocs, return_inverse=True)
+        s = np.bincount(inv, weights=zcontrib)
+        cd = np.concatenate([top_docs, u])
+        cs = np.concatenate([top_scores, s])
+        sel = np.lexsort((cd, -cs))[:k]
+        top_docs, top_scores = cd[sel], cs[sel]
+        if top_docs.shape[0] >= k:
+            theta = float(top_scores[-1])
+    return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
+
+
+def wand_topk_docwise(rows: list[dict], idfs: dict[int, float], k: int, k1: float, b: float, avgdl: float):
+    """Reference implementation: per-document block-max WAND (Ding & Suel
+    pivoting with a Python cursor walk). Kept as the property-test cross-check
+    for the vectorized zone scorer above — both are exact, so their rankings
+    must be identical on any input.
     """
     cursors = [_Cursor(r, idfs[r["term_id"]], k1, b, avgdl) for r in rows]
     heap: list[tuple[float, int]] = []  # min-heap keyed (score, -doc_id)
@@ -183,29 +266,37 @@ def make_multi_scorer(
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         # a term may appear in MULTIPLE rows of one shard (one per index
-        # generation, disjoint doc sub-ranges) — accumulate, never overwrite
+        # generation, disjoint doc sub-ranges) — accumulate, never overwrite.
+        # A term's idf is GLOBAL (df over the whole corpus), so its per-doc
+        # BM25 contribution is identical for every query referencing it:
+        # decode AND score each posting row exactly ONCE, then each query is
+        # pure bincount accumulation over precomputed (idx, contrib) pairs.
+        term_idf = {t: i for idfs in query_idfs.values() for t, i in idfs.items()}
         decoded: dict[int, list[tuple]] = {}
         base = int(pdf["first_doc"].min())
         hi = int(pdf["last_doc"].max())
         width = hi - base + 1
         for r in pdf.to_dict("records"):
+            tid = r["term_id"]
+            idf = term_idf.get(tid)
+            if idf is None:
+                continue
             docs, tfs, dls = decode_posting_list(r)
-            decoded.setdefault(r["term_id"], []).append((docs, tfs, dls))
+            decoded.setdefault(tid, []).append(
+                (docs - base, _contrib(idf, tfs, dls, k1, b, avgdl))
+            )
         out_q, out_d, out_s = [], [], []
         for qid, idfs in query_idfs.items():
             acc = np.zeros(width, dtype=np.float64)
             touched = np.zeros(width, dtype=bool)
             hit = False
-            for term, idf in idfs.items():
+            for term in idfs:
                 got = decoded.get(term)
                 if got is None:
                     continue
                 hit = True
-                for docs, tfs, dls in got:
-                    idx = docs - base
-                    acc += np.bincount(
-                        idx, weights=_contrib(idf, tfs, dls, k1, b, avgdl), minlength=width
-                    )
+                for idx, contrib in got:
+                    acc += np.bincount(idx, weights=contrib, minlength=width)
                     touched[idx] = True
             if not hit:
                 continue
@@ -224,20 +315,23 @@ def make_shard_scorer(idfs: dict[int, float], k: int, avgdl: float,
                       k1: float = K1, b: float = B_BM25, method: str = "auto"):
     """Returns an applyInPandas function: one shard's posting rows -> top-k.
 
-    ``method``: "bmw" (block-max WAND), "taat" (vectorized), or "auto" —
-    decided PER SHARD from candidate density: when the query terms' postings
-    cover a large fraction of the shard's doc range, block skipping can't
-    prune much and the zero-Python-per-doc TAAT path wins; on selective
-    queries WAND decodes only surviving blocks. Both are exact, so the switch
-    can never change a ranking (tested).
+    ``method``: "bmw" (zone-vectorized block-max), "taat" (vectorized), or
+    "auto" — decided PER SHARD from candidate density: when the query terms'
+    postings cover a meaningful fraction of the shard's doc range, block
+    skipping can't prune much and the single-bincount TAAT path wins; on
+    selective queries the zone scorer decodes only surviving blocks. Both are
+    exact (bit-identical accumulation order, tested), so the switch can never
+    change a ranking. The density threshold is MEASURED, not guessed: on
+    random posting lists the crossover sits near one posting per ~80 docs of
+    range across shard widths 16k→1M (see BASELINE.md round 3), hence ×64.
     """
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         m = method
         if m == "auto":
             width = int(pdf["last_doc"].max()) - int(pdf["first_doc"].min()) + 1
-            # ≥ one posting per 4 docs of range → dense → vectorized TAAT
-            m = "taat" if int(pdf["df"].sum()) * 4 >= width else "bmw"
+            # ≥ one posting per 64 docs of range → dense → vectorized TAAT
+            m = "taat" if int(pdf["df"].sum()) * 64 >= width else "bmw"
         fn = wand_topk if m == "bmw" else taat_topk
         rows = pdf.to_dict("records")
         top = fn(rows, idfs, k, k1, b, avgdl)

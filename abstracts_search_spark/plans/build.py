@@ -47,8 +47,15 @@ from ..operators.postings import (
 from ..sources.tables import commit, read_table, table_exists
 
 # bumped whenever the on-disk artifact schema changes
-# (2 = int64 term_id keys; 3 = generation-stacked postings/gen=G/bucket=B)
-INDEX_FORMAT = 3
+# (2 = int64 term_id keys; 3 = generation-stacked postings/gen=G/bucket=B;
+#  4 = params.json carries n_terms + max_generations, lineage partitioned
+#      by src_part)
+INDEX_FORMAT = 4
+
+# generation fan-out bound: every (term, shard) gains at most one postings row
+# per sync, so query-time rows grow linearly with generations — once a sync
+# pushes past this many, merge_index folds everything back to gen=0
+DEFAULT_MAX_GENERATIONS = 8
 
 
 def list_source_partitions(transcripts_dir: str) -> list[int]:
@@ -208,6 +215,7 @@ def build_index(
                 "n_postings long, n_term_rows long, wall_sec double",
             ).withColumn("ts", F.current_timestamp()),
             index_dir, "lineage", mode="append",
+            partition_by=["src_part"], repartition_by=["src_part"],
         )
         metrics["n_turns"] = sum(r[2] for r in lineage_rows)
         metrics["n_docs"] = sum(r[3] for r in lineage_rows)
@@ -256,9 +264,12 @@ def build_doc_index(
 
     merged = read_table(spark, index_dir, "postings")
     commit(
-        merged.groupBy("term_id").agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket")),
+        merged.groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
+        .withColumn("through_gen", F.lit(0)),
         index_dir, "dictionary",
     )
+    n_terms = read_table(spark, index_dir, "dictionary").count()  # footer metadata only
 
     commit(
         prepared.select(
@@ -271,7 +282,7 @@ def build_doc_index(
             F.count("*").alias("n_docs"),
             F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
-        ),
+        ).withColumn("through_gen", F.lit(0)),
         index_dir, "stats",
     )
     prepared.unpersist()
@@ -288,9 +299,23 @@ def build_doc_index(
                 "tie_break": "score DESC, doc_id ASC",
                 "merged_parts": [0],
                 "next_gen": 1,
+                "n_terms": int(n_terms),
+                "max_generations": DEFAULT_MAX_GENERATIONS,
             },
             f,
         )
+
+
+def _dictionary_delta(spark: SparkSession, index_dir: str, gen: int):
+    """df per term over ONE postings generation — the partition-pruned scan
+    an incremental sync merges into the standing dictionary (the plan carries
+    a gen=G PartitionFilter, so only the new generation's files are read)."""
+    return (
+        read_table(spark, index_dir, "postings")
+        .filter(F.col("gen") == gen)
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
+    )
 
 
 def merge_index(
@@ -299,6 +324,7 @@ def merge_index(
     buckets: int = DEFAULT_BUCKETS,
     shard_docs: int = DEFAULT_SHARD_DOCS,
     incremental: bool = True,
+    max_generations: int = DEFAULT_MAX_GENERATIONS,
 ) -> None:
     """Merge segments -> postings/dictionary/stats (+ params.json).
 
@@ -322,22 +348,28 @@ def merge_index(
     if not table_exists(index_dir, "segments"):
         return
     state: dict = {}
+    prev: dict = {}  # kept even on compaction, for e.g. the tune_index winner
     params_path = os.path.join(index_dir, "params.json")
-    if incremental and os.path.exists(params_path):
+    if os.path.exists(params_path):
         with open(params_path) as f:
-            state = json.load(f)
-        if state.get("format") != INDEX_FORMAT:
-            state = {}
+            prev = json.load(f)
+        if incremental and prev.get("format") == INDEX_FORMAT:
+            state = prev
     merged_parts = set(state.get("merged_parts", []))
     next_gen = int(state.get("next_gen", 0))
 
     # scrub uncommitted generations (appended, then crashed before the
-    # params.json state marker) so reruns are idempotent
-    postings_root = os.path.join(index_dir, "postings")
-    if os.path.exists(postings_root):
-        for d in os.listdir(postings_root):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
-                shutil.rmtree(os.path.join(postings_root, d))
+    # params.json state marker) so reruns are idempotent. Only the APPEND path
+    # needs this: the full-merge path overwrites the whole postings dir through
+    # the crash-atomic tmp→swap commit, so pre-deleting live generations there
+    # would just open a window where a crash leaves postings empty while
+    # params.json still says merged (the compaction-crash hole)
+    if merged_parts:
+        postings_root = os.path.join(index_dir, "postings")
+        if os.path.exists(postings_root):
+            for d in os.listdir(postings_root):
+                if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
+                    shutil.rmtree(os.path.join(postings_root, d))
 
     segments = read_table(spark, index_dir, "segments")
     seg_parts = {
@@ -355,7 +387,7 @@ def merge_index(
         commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
                repartition_by=["bucket"], sort_by=["term_id"],
                compression="uncompressed", row_group_bytes=8 << 20)
-        merged_parts, next_gen = set(seg_parts), 1
+        merged_parts, next_gen, this_gen = set(seg_parts), 1, None
     else:
         fresh = segments.filter(F.col("src_part").isin(new_parts))
         postings = merge_segments(fresh).withColumn("gen", F.lit(next_gen))
@@ -364,37 +396,89 @@ def merge_index(
                sort_by=["term_id"], compression="uncompressed",
                row_group_bytes=8 << 20)
         merged_parts |= set(new_parts)
+        this_gen = next_gen
         next_gen += 1
 
-    # dictionary/stats are global (df sums across generations): cheap
-    # re-aggregations over compact encoded rows, not a postings re-encode.
-    # They read different tables — run the two jobs concurrently.
+    # dictionary/stats updates. An incremental sync never re-scans the
+    # standing index: the dictionary merges a delta aggregated over ONLY the
+    # new generation (partition-pruned gen=G scan) into the standing
+    # dictionary table, and stats combine the old (n_docs, total_tokens) with
+    # an aggregation over only the NEW src_part docmap partitions — at 100 TB
+    # a quarterly sync's metadata cost is proportional to the new data, not
+    # the index. The two updates read different tables — run them
+    # concurrently. n_terms lands in params.json so readers can bound their
+    # driver-side cache without ever running a vocabulary-sized job.
     from concurrent.futures import ThreadPoolExecutor
 
-    merged = read_table(spark, index_dir, "postings")
-    docmap = read_table(spark, index_dir, "docmap")
+    # crash-replay idempotency: both derived tables carry a constant
+    # ``through_gen`` column = the highest generation their numbers include.
+    # A rerun that re-appends gen=G after a crash (the scrub path) sees
+    # through_gen >= G and SKIPS re-applying the delta — correct because the
+    # re-merged generation is byte-identical (same segments, same doc_ids), so
+    # the standing delta is exactly the one that would be merged again.
+    through = next_gen - 1
 
-    def _dictionary():
-        commit(
-            merged.groupBy("term_id").agg(
-                F.sum("df").alias("df"), F.first("bucket").alias("bucket")
-            ),
-            index_dir, "dictionary",
-        )
+    def _through_gen(name: str) -> int:
+        if not table_exists(index_dir, name):
+            return -1
+        row = read_table(spark, index_dir, name).agg(F.max("through_gen")).collect()[0]
+        return int(row[0]) if row[0] is not None else -1
 
-    def _stats():
-        commit(
-            docmap.agg(
+    def _dictionary() -> int:
+        have = _through_gen("dictionary") if this_gen is not None else -1
+        if this_gen is not None and have >= this_gen:
+            pass  # delta already applied by the crashed run
+        elif this_gen is not None and have >= 0:
+            new_dict = (
+                read_table(spark, index_dir, "dictionary")
+                .drop("through_gen")
+                .unionByName(_dictionary_delta(spark, index_dir, this_gen))
+                .groupBy("term_id")
+                .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
+            )
+            commit(new_dict.withColumn("through_gen", F.lit(through)),
+                   index_dir, "dictionary")
+        else:
+            new_dict = (
+                read_table(spark, index_dir, "postings")
+                .groupBy("term_id")
+                .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
+            )
+            commit(new_dict.withColumn("through_gen", F.lit(through)),
+                   index_dir, "dictionary")
+        # parquet count() is footer-metadata only — no data scan
+        return read_table(spark, index_dir, "dictionary").count()
+
+    def _stats() -> None:
+        have = _through_gen("stats") if this_gen is not None else -1
+        if this_gen is not None and have >= this_gen:
+            return  # delta already applied by the crashed run
+        if this_gen is not None and have >= 0:
+            old = read_table(spark, index_dir, "stats").collect()[0]
+            new = (
+                read_table(spark, index_dir, "docmap")
+                .filter(F.col("src_part").isin([int(p) for p in new_parts]))
+                .agg(F.count("*").alias("n"), F.sum("doclen").alias("tot"))
+                .collect()[0]
+            )
+            n_docs = int(old["n_docs"]) + int(new["n"] or 0)
+            total = int(old["total_tokens"] or 0) + int(new["tot"] or 0)
+            stats_df = spark.createDataFrame(
+                [(n_docs, (float(total) / n_docs) if n_docs else 0.0, total, through)],
+                "n_docs long, avgdl double, total_tokens long, through_gen int",
+            )
+        else:
+            stats_df = read_table(spark, index_dir, "docmap").agg(
                 F.count("*").alias("n_docs"),
                 F.avg("doclen").alias("avgdl"),
                 F.sum("doclen").alias("total_tokens"),
-            ),
-            index_dir, "stats",
-        )
+            ).withColumn("through_gen", F.lit(through))
+        commit(stats_df, index_dir, "stats")
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for f in [pool.submit(_dictionary), pool.submit(_stats)]:
-            f.result()
+        f_dict, f_stats = pool.submit(_dictionary), pool.submit(_stats)
+        n_terms = f_dict.result()
+        f_stats.result()
 
     params = {
         "k1": K1,
@@ -406,11 +490,21 @@ def merge_index(
         "tie_break": "score DESC, doc_id ASC",
         "merged_parts": sorted(int(p) for p in merged_parts),
         "next_gen": next_gen,
+        "n_terms": int(n_terms),
+        "max_generations": max_generations,
     }
-    if "method" in state:  # keep the tune_index winner across syncs
-        params["method"] = state["method"]
+    if "method" in prev:  # keep the tune_index winner across syncs/compactions
+        params["method"] = prev["method"]
     with open(params_path, "w") as f:
         json.dump(params, f)
+
+    # auto-compaction: generation fan-out exceeded the policy bound — fold
+    # everything back to gen=0 (rank-identical by construction, tested). Runs
+    # AFTER the params commit, so a crash anywhere inside the compaction
+    # leaves a fully consistent incremental index behind.
+    if incremental and next_gen > max_generations:
+        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs,
+                    incremental=False, max_generations=max_generations)
 
 
 def compact_index(
@@ -420,5 +514,6 @@ def compact_index(
     shard_docs: int = DEFAULT_SHARD_DOCS,
 ) -> None:
     """Fold all generations back into gen=0 (full re-merge from segments) —
-    run occasionally so query-time generation fan-out stays bounded."""
+    bounds query-time generation fan-out. merge_index triggers this
+    automatically once ``next_gen`` passes params.json's ``max_generations``."""
     merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs, incremental=False)

@@ -91,7 +91,12 @@ def indexed_topk_inmem(
 class IndexReader:
     """Caches the small index metadata driver-side; postings stay on disk."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, max_cached_terms: int = 1_000_000):
+    # the reference keeps only a FIXED-size coarse quantizer in memory
+    # (65,536 centroids — /root/reference/README.md:16, Makefile:38-39);
+    # the driver-side dictionary cache gets the same bound, never O(vocab)
+    DICT_CACHE_TERMS = 65_536
+
+    def __init__(self, spark: SparkSession, index_dir: str, max_cached_terms: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "params.json")) as f:
@@ -102,28 +107,41 @@ class IndexReader:
         self.postings = read_table(spark, index_dir, "postings")
         self.dictionary = read_table(spark, index_dir, "dictionary")
         self.docmap = read_table(spark, index_dir, "docmap")
-        # small vocabularies are cached driver-side so term lookup costs zero
-        # Spark jobs per query (the reference holds its coarse quantizer in
-        # memory the same way); huge vocabularies fall back to a pushed-down
-        # dictionary scan per query (the scan carries an In(term_id,…)
-        # predicate into term_id-sorted row groups, so it stays cheap)
+        # vocabularies at or under the reference's quantizer size are cached
+        # driver-side LAZILY (first lookup), so term lookup costs zero Spark
+        # jobs per query and reader construction runs no vocabulary-sized job
+        # at all; larger vocabularies always look terms up with a pushed-down
+        # dictionary scan — the In(term_id,…) predicate prunes term_id-sorted
+        # row groups, so the lookup stays distributed and O(query terms)
+        self._cache_limit = (
+            max_cached_terms
+            if max_cached_terms is not None
+            else int(os.environ.get("SPARK_GRAFT_DICT_CACHE_TERMS", self.DICT_CACHE_TERMS))
+        )
+        # vocab size is recorded at merge time (params.json n_terms); absent
+        # (pre-format-4 index) means unknown → treated as large, never counted
+        self._n_terms: int | None = self.params.get("n_terms")
         self._dict_cache: dict[int, tuple[int, int]] | None = None
-        if self.dictionary.count() <= max_cached_terms:
+
+    def _cached_dict(self) -> dict[int, tuple[int, int]] | None:
+        if self._dict_cache is None and self._n_terms is not None and self._n_terms <= self._cache_limit:
             self._dict_cache = {
                 int(r["term_id"]): (int(r["df"]), int(r["bucket"]))
                 for r in self.dictionary.collect()
             }
+        return self._dict_cache
 
     def lookup_terms(self, terms: list[str]) -> list[dict]:
         """string terms -> [{term, term_id, df, bucket}] for terms in the index."""
         if not terms:
             return []
         tids = {term_id_of(t): t for t in terms}
-        if self._dict_cache is not None:
+        cache = self._cached_dict()
+        if cache is not None:
             return [
-                {"term": t, "term_id": tid, "df": self._dict_cache[tid][0], "bucket": self._dict_cache[tid][1]}
+                {"term": t, "term_id": tid, "df": cache[tid][0], "bucket": cache[tid][1]}
                 for tid, t in tids.items()
-                if tid in self._dict_cache
+                if tid in cache
             ]
         rows = self.dictionary.filter(F.col("term_id").isin(list(tids))).collect()
         return [

@@ -71,8 +71,10 @@ def stream_build(
         # foreachBatch is at-least-once: a crash after the appends below but
         # before the checkpoint commit replays this epoch. Scrub any partial
         # output of the same epoch first (mirrors build_index's pending-part
-        # scrub) so replays are idempotent instead of double-appending.
-        for sub in ("segments", "docmap"):
+        # scrub) so replays are idempotent instead of double-appending —
+        # lineage included: it is src_part-partitioned exactly so a replayed
+        # epoch REPLACES its lineage row instead of double-counting metrics.
+        for sub in ("segments", "docmap", "lineage"):
             d = os.path.join(index_dir, sub, f"src_part={src_part}")
             if os.path.exists(d):
                 shutil.rmtree(d)
@@ -137,7 +139,8 @@ def stream_build(
             "src_part int, n_convs long, n_turns long, n_docs long, "
             "n_postings long, n_term_rows long, wall_sec double",
         ).withColumn("ts", F.current_timestamp())
-        commit(lineage, index_dir, "lineage", mode="append")
+        commit(lineage, index_dir, "lineage", mode="append",
+               partition_by=["src_part"], repartition_by=["src_part"])
         n_batches["n"] += 1
 
     q = (

@@ -22,11 +22,16 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run_at(cpus: int, repeats: int = 1) -> dict:
-    """Best-of-N at each level: single-host runs vary up to 2x from transient
-    I/O/writeback/scheduler noise (raw runs are reported alongside), while the
-    CAPABILITY at a parallelism level is the best sustained run; low-N runs
-    are empirically tight (+-5%), high-N runs are the noisy ones."""
+    """N runs per level; the HEADLINE estimator is the median (robust under
+    the documented up-to-2x single-host transient noise), with the max and the
+    full raw-run list disclosed alongside."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     env.setdefault("SPARK_GRAFT_BENCH_SCALE", "bench")
     runs = []
@@ -41,9 +46,14 @@ def run_at(cpus: int, repeats: int = 1) -> dict:
         runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
         print(f"  local[{cpus}] run: {runs[-1]['build']['turns_per_sec']} turns/sec",
               file=sys.stderr)
-    best = max(runs, key=lambda r: r["build"]["turns_per_sec"])
-    best["all_turns_per_sec"] = [r["build"]["turns_per_sec"] for r in runs]
-    return best
+    raw = [r["build"]["turns_per_sec"] for r in runs]
+    med = _median(raw)
+    rep = min(runs, key=lambda r: abs(r["build"]["turns_per_sec"] - med))
+    rep = dict(rep)
+    rep["all_turns_per_sec"] = raw
+    rep["median_turns_per_sec"] = round(med, 1)
+    rep["max_turns_per_sec"] = round(max(raw), 1)
+    return rep
 
 
 def main():
@@ -60,20 +70,25 @@ def main():
             f"queries {r['query_set']['qps']} qps",
             file=sys.stderr,
         )
-    tps_low = results[n_low]["build"]["turns_per_sec"]
-    tps_high = results[n_high]["build"]["turns_per_sec"]
+    tps_low = results[n_low]["median_turns_per_sec"]
+    tps_high = results[n_high]["median_turns_per_sec"]
     eff = (tps_high / tps_low) / (n_high / n_low)
+    eff_max = (results[n_high]["max_turns_per_sec"] / results[n_low]["max_turns_per_sec"]) / (n_high / n_low)
     out = {
         "n_low": n_low,
         "n_high": n_high,
+        "n_repeats": repeats,
         "turns_per_sec_low": tps_low,
         "turns_per_sec_high": tps_high,
         "speedup": round(tps_high / tps_low, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_max_of_n": round(eff_max, 3),
+        "max_turns_per_sec_low": results[n_low]["max_turns_per_sec"],
+        "max_turns_per_sec_high": results[n_high]["max_turns_per_sec"],
         "query_qps_low": results[n_low]["query_set"]["qps"],
         "query_qps_high": results[n_high]["query_set"]["qps"],
         "bench_scale": results[n_high].get("bench_scale"),
-        "method": "best-of-N per level (raw runs below; single-host transient noise up to 2x at high N)",
+        "method": "median-of-N per level is the headline (max-of-N and raw runs disclosed; single-host transient noise up to 2x at high N)",
         "raw_turns_per_sec_low": results[n_low]["all_turns_per_sec"],
         "raw_turns_per_sec_high": results[n_high]["all_turns_per_sec"],
     }
