@@ -75,10 +75,22 @@ def main() -> dict:
     # --- 2. reference query set via block-max WAND --------------------------
     reader = IndexReader(spark, index_dir)
     qset = gen_queries(n=50)
+    # one-time costs (dictionary cache fill, scan-planning file listing,
+    # python-worker/codegen warmup) are timed SEPARATELY so the query-set
+    # number is steady-state throughput, the regime a long-lived reader runs in
     t0 = time.time()
-    n_rows = len(reader.query_many({qid: q for qid, q in qset}, k=10).collect())
-    qtotal = time.time() - t0
-    timings["query_set_50_batched"] = round(qtotal, 3)
+    reader.query(qset[0][1], k=10).collect()
+    timings["reader_warmup"] = round(time.time() - t0, 3)
+    # median of 3 batched runs (raw runs disclosed) — same estimator policy as
+    # scripts/scaling_run.py: this host's run-to-run noise is up to 2x
+    q_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        n_rows = len(reader.query_many({qid: q for qid, q in qset}, k=10).collect())
+        q_runs.append(round(time.time() - t0, 3))
+    qtotal = sorted(q_runs)[1]
+    timings["query_set_50_batched"] = qtotal
+    timings["query_set_runs"] = q_runs
     # per-query latency sample (the interactive path: block-max WAND)
     lat = []
     for _, q in qset[:8]:

@@ -26,18 +26,22 @@ sys.path.insert(0, _REPO)
 
 
 def _shuffle_bytes(eventlog_dir: str) -> int:
+    # Spark 4 writes rolling v2 event logs as DIRECTORIES (eventlog_v2_<app>/
+    # events_1_... files) — walk everything under the log dir
     total = 0
-    for fname in os.listdir(eventlog_dir):
-        path = os.path.join(eventlog_dir, fname)
-        if not os.path.isfile(path):
-            continue
-        with open(path) as f:
-            for line in f:
-                if '"SparkListenerTaskEnd"' not in line:
-                    continue
-                ev = json.loads(line)
-                m = (ev.get("Task Metrics") or {}).get("Shuffle Write Metrics") or {}
-                total += int(m.get("Shuffle Bytes Written", 0))
+    for root, _, files in os.walk(eventlog_dir):
+        for fname in files:
+            path = os.path.join(root, fname)
+            try:
+                with open(path) as f:
+                    for line in f:
+                        if '"SparkListenerTaskEnd"' not in line:
+                            continue
+                        ev = json.loads(line)
+                        m = (ev.get("Task Metrics") or {}).get("Shuffle Write Metrics") or {}
+                        total += int(m.get("Shuffle Bytes Written", 0))
+            except (OSError, UnicodeDecodeError):
+                continue
     return total
 
 
@@ -54,6 +58,8 @@ def run_variant(sf_dir: str, carry_vectors: bool) -> dict:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", logdir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
