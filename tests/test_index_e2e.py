@@ -41,7 +41,7 @@ def test_build_metrics(built):
     assert metrics["n_turns"] > 0 and metrics["turns_per_sec"] > 0
 
 
-@pytest.mark.parametrize("method", ["bmw", "taat"])
+@pytest.mark.parametrize("method", ["bmw", "taat", "auto"])
 def test_rank_identical_to_oracle(spark, built, oracle, method):
     index_dir, _ = built
     reader = IndexReader(spark, index_dir)

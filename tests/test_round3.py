@@ -90,6 +90,37 @@ def test_wand_zone_equals_docwise_and_taat(seed, k):
         assert dz == dd or abs(sz - sd) < 1e-9
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def test_wand_zone_equals_taat_property(data):
+        """Property: the zone scorer and TAAT are BIT-identical on arbitrary
+        shard shapes (list counts, dfs, doc ranges, ties, k)."""
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+        n_docs = data.draw(st.integers(10, 3000))
+        n_terms = data.draw(st.integers(1, 5))
+        k = data.draw(st.integers(1, 30))
+        tie = data.draw(st.booleans())
+        dls = rng.integers(10, 200, size=n_docs).astype(np.int64)
+        rows, idfs = [], {}
+        for t in range(n_terms):
+            df = int(rng.integers(1, n_docs + 1))
+            docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+            tfs = (np.ones(df) if tie else rng.integers(1, 6, size=df)).astype(np.int64)
+            dl = np.full(df, 50, dtype=np.int64) if tie else dls[docs]
+            row = encode_posting_list(docs, tfs, dl)
+            row["term_id"] = t
+            rows.append(row)
+            idfs[t] = idf_of(n_docs, df)
+        args = (rows, idfs, k, 1.2, 0.75, 90.0)
+        assert wand_topk(*args) == taat_topk(*args)
+except ImportError:  # pragma: no cover - hypothesis is in the sandbox image
+    pass
+
+
 def test_wand_zone_subset_of_terms():
     # query references only some of the shard's rows (the applyInPandas shape)
     rng = np.random.default_rng(7)
