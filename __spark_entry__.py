@@ -223,6 +223,12 @@ def _q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_load(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # pairs -> transitive clusters -> canonical representative (the step
+    # between LSH candidate pairs and an actual corpus drop-list)
+    return dedup.dedup_clusters(_load(spark, sf_dir, "documents"))
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash64(_load(spark, sf_dir, "documents"))
 
@@ -305,6 +311,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash64": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -453,6 +460,33 @@ WHERE kind = 'video'
 """
 
 
+def _minhash_pairs_sql(sh_cte: str) -> str:
+    """Independent DuckDB replication of minhash_lsh_pairs (num_perm=12,
+    bands=4, guard ≤50) — shared by the pairs oracle and the dedup_clusters
+    oracle (which closes the pair graph transitively)."""
+    return f"""
+WITH {sh_cte},
+perms AS (SELECT unnest(range(12)) AS perm),
+sig AS (
+  SELECT doc_id, perm, min(md5(concat_ws('#', shingle, perm))) AS sig
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+banded AS (
+  SELECT doc_id, band, md5(string_agg(sig, '|' ORDER BY perm)) AS bucket
+  FROM (SELECT doc_id, perm, sig, perm // 3 AS band FROM sig) GROUP BY doc_id, band
+),
+guard AS (
+  SELECT band, bucket FROM (SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2)
+  WHERE c > 1 AND c <= 50
+),
+small AS (SELECT banded.* FROM banded JOIN guard USING (band, bucket))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM small a JOIN small b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     fix_glob = os.path.join(FIX_DIR, "part=*", "data.parquet")
     toks_docs = f"SELECT doc_id, {_TOK.format(col='text')} AS t FROM documents"
@@ -518,26 +552,21 @@ j AS (
 )
 SELECT doc_a, doc_b, jaccard FROM j ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
 """,
-        "minhash_lsh_pairs": f"""
-WITH {sh_cte},
-perms AS (SELECT unnest(range(12)) AS perm),
-sig AS (
-  SELECT doc_id, perm, min(md5(concat_ws('#', shingle, perm))) AS sig
-  FROM sh CROSS JOIN perms GROUP BY 1, 2
+        "minhash_lsh_pairs": _minhash_pairs_sql(sh_cte),
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql(sh_cte)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
 ),
-banded AS (
-  SELECT doc_id, band, md5(string_agg(sig, '|' ORDER BY perm)) AS bucket
-  FROM (SELECT doc_id, perm, sig, perm // 3 AS band FROM sig) GROUP BY doc_id, band
-),
-guard AS (
-  SELECT band, bucket FROM (SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2)
-  WHERE c > 1 AND c <= 50
-),
-small AS (SELECT banded.* FROM banded JOIN guard USING (band, bucket))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-FROM small a JOIN small b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+reach(n, m) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id, (n = MIN(m)) AS keep
+FROM reach GROUP BY n
 """,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -246,3 +246,82 @@ def embedding_dup_lsh(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "em
     from .similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(emb, top=top, id_col=id_col, vec_col=vec_col)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair graph -> (doc_id, cluster_id), where
+    ``cluster_id`` is the smallest node id in the component.
+
+    The missing step between near-dup PAIRS (minhash_lsh_pairs /
+    embedding_dup_lsh) and actionable dedup: transitively-linked documents
+    form one cluster with one canonical representative. Implemented as
+    distributed min-label propagation — per round, every node takes the min
+    label over itself and its neighbors (one join + one groupBy, both plain
+    shuffles Catalyst plans); rounds repeat until a fixpoint, which takes
+    O(component diameter) rounds. Near-dup graphs have tiny components
+    (chains of boilerplate variants), so convergence is a handful of rounds
+    even at 10^9 docs; for adversarially long chains the same loop accepts
+    the large-star/small-star edge rewrite. Lineage is truncated with
+    localCheckpoint per round so the plan never grows with iterations (on a
+    real cluster, point spark.checkpoint.dir at durable storage instead).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs -> transitive clusters -> keep/drop verdict.
+
+    -> (doc_id, cluster_id, keep) for every document that belongs to a
+    near-dup cluster: ``keep`` marks the canonical representative (the
+    cluster's smallest doc_id); everything else is the drop set. The
+    end-to-end shape of production corpus dedup at 100 TB: bounded LSH
+    pair generation (no all-pairs stage), then label propagation over the
+    (tiny relative to the corpus) pair graph only.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        n=n, max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    return comp.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )

@@ -48,8 +48,12 @@ from ..sources.tables import commit, read_table, table_exists
 
 # bumped whenever the on-disk artifact schema changes
 # (2 = int64 term_id keys; 3 = generation-stacked postings/gen=G/bucket=B;
-#  4 = params.json carries n_terms + max_generations, lineage partitioned
-#      by src_part)
+#  4 = params.json carries n_terms + max_generations, dictionary/stats carry
+#      a through_gen replay marker, lineage partitioned by src_part).
+# A format mismatch makes merge_index re-derive every derived artifact from
+# segments+docmap; pre-4 indexes that already have FLAT lineage files must be
+# re-ingested into a fresh index_dir (mixing flat and src_part= lineage
+# layouts in one directory is not readable).
 INDEX_FORMAT = 4
 
 # generation fan-out bound: every (term, shard) gains at most one postings row

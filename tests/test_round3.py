@@ -368,6 +368,35 @@ def test_ann_index_commits_through_facade(spark, tmp_path):
     assert got == want  # the query's own bucket always contains itself
 
 
+# ------------------------------------------------- dedup clustering -------
+
+
+def test_connected_components_chain_and_islands(spark):
+    from abstracts_search_spark.operators.dedup import connected_components
+
+    # a 5-node chain (diameter > 1 round forces iteration), a 2-cycle with a
+    # pendant, and an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from abstracts_search_spark.operators.dedup import dedup_clusters
+
+    rows = [(i, f"totally unique document number {i} with its own words {i*7}") for i in range(20)]
+    dup = "the same boilerplate text repeated across many documents verbatim again and again"
+    rows += [(100 + i, dup) for i in range(4)]  # one 4-doc cluster
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"]) for r in dedup_clusters(docs).collect()
+    )
+    assert got == [(100, 100, True), (101, 100, False), (102, 100, False), (103, 100, False)]
+
+
 # ---------------------------------------------------- fixture invariants ---
 
 
