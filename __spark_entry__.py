@@ -565,7 +565,7 @@ reach(n, m) AS (
   UNION
   SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
 )
-SELECT n AS doc_id, MIN(m) AS cluster_id, (n = MIN(m)) AS keep
+SELECT n AS doc_id, MIN(m) AS cluster_id, CAST(n = MIN(m) AS INTEGER) AS keep
 FROM reach GROUP BY n
 """,
         "ann_cosine_topk": f"""

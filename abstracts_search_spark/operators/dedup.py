@@ -270,28 +270,35 @@ def connected_components(
     localCheckpoint per round so the plan never grows with iterations (on a
     real cluster, point spark.checkpoint.dir at durable storage instead).
     """
+    spark = edges.sparkSession
+    # durable checkpoints when the session has a checkpoint dir (the real-
+    # cluster configuration); executor-local truncation otherwise
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    ).localCheckpoint()
+    labels = _ckpt(
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("chg"),
             )
-        ).localCheckpoint()
+        )
         changed = new_labels.filter(F.col("chg")).count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
@@ -322,6 +329,9 @@ def dedup_clusters(
         n=n, max_bucket=max_bucket,
     )
     comp = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    # keep as int (1 = canonical representative): engine-portable, and every
+    # oracle comparator hashes ints identically (booleans vary by engine)
     return comp.select(
-        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
     )

@@ -122,6 +122,11 @@ class IndexReader:
         # (pre-format-4 index) means unknown → treated as large, never counted
         self._n_terms: int | None = self.params.get("n_terms")
         self._dict_cache: dict[int, tuple[int, int]] | None = None
+        # big-vocab regime: terms already looked up (hits AND misses) are
+        # remembered, bounded by the same cap — repeated hot query terms cost
+        # zero Spark jobs after their first appearance while driver memory
+        # stays O(distinct queried terms), never O(vocab)
+        self._lookup_cache: dict[int, tuple[int, int] | None] = {}
 
     def _cached_dict(self) -> dict[int, tuple[int, int]] | None:
         if self._dict_cache is None and self._n_terms is not None and self._n_terms <= self._cache_limit:
@@ -143,11 +148,23 @@ class IndexReader:
                 for tid, t in tids.items()
                 if tid in cache
             ]
-        rows = self.dictionary.filter(F.col("term_id").isin(list(tids))).collect()
+        unseen = [tid for tid in tids if tid not in self._lookup_cache]
+        entries: dict[int, tuple[int, int] | None] = {
+            tid: self._lookup_cache[tid] for tid in tids if tid in self._lookup_cache
+        }
+        if unseen:
+            got = {
+                int(r["term_id"]): (int(r["df"]), int(r["bucket"]))
+                for r in self.dictionary.filter(F.col("term_id").isin(unseen)).collect()
+            }
+            fresh = {tid: got.get(tid) for tid in unseen}
+            entries.update(fresh)
+            if len(self._lookup_cache) + len(fresh) <= self._cache_limit:
+                self._lookup_cache.update(fresh)  # else: cap reached, serve uncached
         return [
-            {"term": tids[int(r["term_id"])], "term_id": int(r["term_id"]),
-             "df": int(r["df"]), "bucket": int(r["bucket"])}
-            for r in rows
+            {"term": tids[tid], "term_id": tid, "df": v[0], "bucket": v[1]}
+            for tid, v in entries.items()
+            if v is not None
         ]
 
     def query(self, text: str, k: int = 10, method: str | None = None) -> DataFrame:

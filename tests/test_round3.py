@@ -150,10 +150,19 @@ def test_reader_runs_no_vocab_sized_driver_job(spark, small_dir, tmp_path):
     assert r._dict_cache is not None  # small vocab → lazy cache after 1st use
 
     # vocab over the cap → cache stays off, pushed-scan lookup still correct
-    big = IndexReader(spark, ix, max_cached_terms=1)
-    got2 = big.lookup_terms(["user"])
+    big = IndexReader(spark, ix, max_cached_terms=2)
+    got2 = big.lookup_terms(["user", "zzzneverinthiscorpus"])
     assert big._dict_cache is None
     assert got == got2
+    # pushed-scan results are memoized (hits AND misses) within the cap…
+    assert set(big._lookup_cache.values()) == {
+        (got[0]["df"], got[0]["bucket"]), None
+    }
+    assert big.lookup_terms(["user", "zzzneverinthiscorpus"]) == got2
+    # …and the cap stops growth without breaking results
+    got3 = big.lookup_terms(["user", "assistant", "spark"])
+    assert {e["term"] for e in got3} >= {"user", "assistant"}
+    assert len(big._lookup_cache) <= 2
     a = [(x["doc_id"], round(x["score"], 9)) for x in r.query("user assistant").collect()]
     b = [(x["doc_id"], round(x["score"], 9)) for x in big.query("user assistant").collect()]
     assert a == b
@@ -394,7 +403,7 @@ def test_dedup_clusters_end_to_end(spark):
     got = sorted(
         (r["doc_id"], r["cluster_id"], r["keep"]) for r in dedup_clusters(docs).collect()
     )
-    assert got == [(100, 100, True), (101, 100, False), (102, 100, False), (103, 100, False)]
+    assert got == [(100, 100, 1), (101, 100, 0), (102, 100, 0), (103, 100, 0)]
 
 
 # ---------------------------------------------------- fixture invariants ---
