@@ -89,8 +89,7 @@ def main() -> dict:
         n_rows = len(reader.query_many({qid: q for qid, q in qset}, k=10).collect())
         q_runs.append(round(time.time() - t0, 3))
     qtotal = sorted(q_runs)[1]
-    timings["query_set_50_batched"] = qtotal
-    timings["query_set_runs"] = q_runs
+    timings["query_set_50_batched"] = qtotal  # raw runs live in query_set.runs
     # per-query latency sample (the interactive path: block-max WAND)
     lat = []
     for _, q in qset[:8]:
@@ -102,6 +101,7 @@ def main() -> dict:
         "n": len(qset),
         "total_sec": round(qtotal, 3),
         "qps": round(len(qset) / qtotal, 2),
+        "runs": q_runs,
         "rows": n_rows,
         "single_query_avg_sec": timings["query_single_avg"],
     }
