@@ -277,7 +277,9 @@ def connected_components(
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    sym = (
+    # materialized ONCE: every round's join re-reads this checkpoint instead
+    # of re-running the union+distinct shuffle from source
+    sym = _ckpt(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
@@ -285,6 +287,7 @@ def connected_components(
     labels = _ckpt(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -300,10 +303,23 @@ def connected_components(
             )
         )
         changed = new_labels.filter(F.col("chg")).count()
+        labels.unpersist()  # previous round's checkpoint blocks are dead now
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    if changed != 0:
+        # silent non-convergence would split clusters (multiple 'canonical'
+        # docs in one true component) — fail loudly; raise max_iter (rounds
+        # needed = component diameter) or pre-contract long chains with a
+        # large-star/small-star edge rewrite
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): component diameter exceeds "
+            "max_iter"
+        )
+    out = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    sym.unpersist()
+    return out
 
 
 def dedup_clusters(

@@ -70,6 +70,20 @@ def list_source_partitions(transcripts_dir: str) -> list[int]:
     )
 
 
+def guard_lineage_layout(index_dir: str) -> None:
+    """Refuse to extend a pre-format-4 index: its lineage is FLAT parquet
+    files, and appending src_part=K/ partition dirs next to them would leave
+    a mixed layout Spark's partition discovery cannot read ('Conflicting
+    directory structures'). Fail loudly BEFORE any write instead."""
+    lin = os.path.join(index_dir, "lineage")
+    if os.path.isdir(lin) and any(f.endswith(".parquet") for f in os.listdir(lin)):
+        raise RuntimeError(
+            f"{index_dir} has a pre-format-{INDEX_FORMAT} flat lineage layout; "
+            "re-ingest into a fresh index_dir (INDEX_FORMAT history in "
+            "abstracts_search_spark/plans/build.py)"
+        )
+
+
 def pending_partitions(spark: SparkSession, transcripts_dir: str, index_dir: str) -> list[int]:
     """Incremental set difference (SURVEY.md §2.7 U1): source partitions
     without a lineage row. The anti-join is done in Spark so the same code
@@ -94,6 +108,7 @@ def build_index(
 ) -> dict:
     """Process pending source partitions, then (re)merge. Returns metrics."""
     t0 = time.time()
+    guard_lineage_layout(index_dir)
     pending = pending_partitions(spark, transcripts_dir, index_dir)
     if max_parts is not None:
         pending = pending[:max_parts]
@@ -270,7 +285,8 @@ def build_doc_index(
     commit(
         merged.groupBy("term_id")
         .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
-        .withColumn("through_gen", F.lit(0)),
+        .withColumn("through_gen", F.lit(0))
+        .withColumn("through_fp", F.lit(_parts_fingerprint({0}))),
         index_dir, "dictionary",
     )
     n_terms = read_table(spark, index_dir, "dictionary").count()  # footer metadata only
@@ -286,7 +302,8 @@ def build_doc_index(
             F.count("*").alias("n_docs"),
             F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
-        ).withColumn("through_gen", F.lit(0)),
+        ).withColumn("through_gen", F.lit(0))
+        .withColumn("through_fp", F.lit(_parts_fingerprint({0}))),
         index_dir, "stats",
     )
     prepared.unpersist()
@@ -310,6 +327,16 @@ def build_doc_index(
         )
 
 
+def _parts_fingerprint(parts) -> int:
+    """Signed-int64 fingerprint of a source-partition set — the content
+    identity behind the derived tables' crash-replay markers."""
+    import hashlib
+    import json as _json
+
+    b = _json.dumps(sorted(int(p) for p in parts)).encode()
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big", signed=True)
+
+
 def _dictionary_delta(spark: SparkSession, index_dir: str, gen: int):
     """df per term over ONE postings generation — the partition-pruned scan
     an incremental sync merges into the standing dictionary (the plan carries
@@ -328,7 +355,7 @@ def merge_index(
     buckets: int = DEFAULT_BUCKETS,
     shard_docs: int = DEFAULT_SHARD_DOCS,
     incremental: bool = True,
-    max_generations: int = DEFAULT_MAX_GENERATIONS,
+    max_generations: int | None = None,
 ) -> None:
     """Merge segments -> postings/dictionary/stats (+ params.json).
 
@@ -359,6 +386,11 @@ def merge_index(
             prev = json.load(f)
         if incremental and prev.get("format") == INDEX_FORMAT:
             state = prev
+    # the compaction policy is PERSISTED: an explicit argument sets it, plain
+    # syncs (max_generations=None) keep honoring the value recorded by
+    # whichever run set it last — never silently reset to the default
+    if max_generations is None:
+        max_generations = int(prev.get("max_generations", DEFAULT_MAX_GENERATIONS))
     merged_parts = set(state.get("merged_parts", []))
     next_gen = int(state.get("next_gen", 0))
 
@@ -415,49 +447,64 @@ def merge_index(
     from concurrent.futures import ThreadPoolExecutor
 
     # crash-replay idempotency: both derived tables carry a constant
-    # ``through_gen`` column = the highest generation their numbers include.
-    # A rerun that re-appends gen=G after a crash (the scrub path) sees
-    # through_gen >= G and SKIPS re-applying the delta — correct because the
-    # re-merged generation is byte-identical (same segments, same doc_ids), so
-    # the standing delta is exactly the one that would be merged again.
+    # ``through_gen`` column (the highest generation their numbers include)
+    # AND ``through_fp``, a fingerprint of the exact MERGED-PART SET those
+    # numbers cover. A rerun that re-appends gen=G after a crash skips
+    # re-applying the delta ONLY when both match — i.e. when the re-merged
+    # generation provably has the same contents (same parts, same segments,
+    # same doc_ids). If more source partitions arrived between the crash and
+    # the retry, gen=G now covers a DIFFERENT part set: the fingerprint
+    # mismatches and both tables fall back to a full re-aggregation over the
+    # (already fully committed) postings/docmap — always correct, just not
+    # incremental on this rare recovery path.
     through = next_gen - 1
+    through_fp = _parts_fingerprint(merged_parts)
 
-    def _through_gen(name: str) -> int:
+    def _marker(name: str) -> tuple[int, int]:
         if not table_exists(index_dir, name):
-            return -1
-        row = read_table(spark, index_dir, name).agg(F.max("through_gen")).collect()[0]
-        return int(row[0]) if row[0] is not None else -1
+            return (-1, 0)
+        row = (
+            read_table(spark, index_dir, name)
+            .agg(F.max("through_gen"), F.max("through_fp"))
+            .collect()[0]
+        )
+        if row[0] is None:
+            return (-1, 0)
+        return (int(row[0]), int(row[1] or 0))
+
+    def _mark(df):
+        return df.withColumn("through_gen", F.lit(through)).withColumn(
+            "through_fp", F.lit(through_fp)
+        )
 
     def _dictionary() -> int:
-        have = _through_gen("dictionary") if this_gen is not None else -1
-        if this_gen is not None and have >= this_gen:
-            pass  # delta already applied by the crashed run
-        elif this_gen is not None and have >= 0:
+        have_gen, have_fp = _marker("dictionary") if this_gen is not None else (-1, 0)
+        if this_gen is not None and (have_gen, have_fp) == (through, through_fp):
+            pass  # identical delta already applied by the crashed run
+        elif this_gen is not None and have_gen == this_gen - 1 and have_fp == _parts_fingerprint(merged_parts - set(new_parts)):
             new_dict = (
                 read_table(spark, index_dir, "dictionary")
-                .drop("through_gen")
+                .drop("through_gen", "through_fp")
                 .unionByName(_dictionary_delta(spark, index_dir, this_gen))
                 .groupBy("term_id")
                 .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
             )
-            commit(new_dict.withColumn("through_gen", F.lit(through)),
-                   index_dir, "dictionary")
+            commit(_mark(new_dict), index_dir, "dictionary")
         else:
             new_dict = (
                 read_table(spark, index_dir, "postings")
                 .groupBy("term_id")
                 .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
             )
-            commit(new_dict.withColumn("through_gen", F.lit(through)),
-                   index_dir, "dictionary")
+            commit(_mark(new_dict), index_dir, "dictionary")
         # parquet count() is footer-metadata only — no data scan
         return read_table(spark, index_dir, "dictionary").count()
 
     def _stats() -> None:
-        have = _through_gen("stats") if this_gen is not None else -1
-        if this_gen is not None and have >= this_gen:
-            return  # delta already applied by the crashed run
-        if this_gen is not None and have >= 0:
+        have_gen, have_fp = _marker("stats") if this_gen is not None else (-1, 0)
+        if this_gen is not None and (have_gen, have_fp) == (through, through_fp):
+            return  # identical delta already applied by the crashed run
+        if this_gen is not None and have_gen == this_gen - 1 and have_fp == _parts_fingerprint(merged_parts - set(new_parts)):
             old = read_table(spark, index_dir, "stats").collect()[0]
             new = (
                 read_table(spark, index_dir, "docmap")
@@ -468,16 +515,16 @@ def merge_index(
             n_docs = int(old["n_docs"]) + int(new["n"] or 0)
             total = int(old["total_tokens"] or 0) + int(new["tot"] or 0)
             stats_df = spark.createDataFrame(
-                [(n_docs, (float(total) / n_docs) if n_docs else 0.0, total, through)],
-                "n_docs long, avgdl double, total_tokens long, through_gen int",
+                [(n_docs, (float(total) / n_docs) if n_docs else 0.0, total)],
+                "n_docs long, avgdl double, total_tokens long",
             )
         else:
             stats_df = read_table(spark, index_dir, "docmap").agg(
                 F.count("*").alias("n_docs"),
                 F.avg("doclen").alias("avgdl"),
                 F.sum("doclen").alias("total_tokens"),
-            ).withColumn("through_gen", F.lit(through))
-        commit(stats_df, index_dir, "stats")
+            )
+        commit(_mark(stats_df), index_dir, "stats")
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_dict, f_stats = pool.submit(_dictionary), pool.submit(_stats)

@@ -54,6 +54,9 @@ def stream_build(
     from ..functions.tokenize import doclen_expr
     from ..operators.postings import build_segments_packed, pack_doc_tokens
 
+    from ..plans.build import guard_lineage_layout
+
+    guard_lineage_layout(index_dir)
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     schema = (
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"

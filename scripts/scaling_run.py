@@ -16,16 +16,11 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def run_at(cpus: int, repeats: int = 1) -> dict:
@@ -47,7 +42,7 @@ def run_at(cpus: int, repeats: int = 1) -> dict:
         print(f"  local[{cpus}] run: {runs[-1]['build']['turns_per_sec']} turns/sec",
               file=sys.stderr)
     raw = [r["build"]["turns_per_sec"] for r in runs]
-    med = _median(raw)
+    med = statistics.median(raw)
     rep = min(runs, key=lambda r: abs(r["build"]["turns_per_sec"] - med))
     rep = dict(rep)
     rep["all_turns_per_sec"] = raw

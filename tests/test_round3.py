@@ -253,6 +253,58 @@ def test_sync_crash_replay_does_not_double_count_dictionary(spark, small_dir, tm
     assert _results(spark, ix) == _results(spark, scratch)
 
 
+def test_crash_then_late_arriving_part_falls_back_to_full_reagg(spark, small_dir, tmp_path):
+    """A crash after the sync's dictionary commit followed by a NEW partition
+    arriving before the retry: the retried generation covers a DIFFERENT part
+    set, so the through-marker fingerprint mismatches and both derived tables
+    rebuild from the committed postings/docmap instead of skipping (which
+    would silently drop the late part from the dictionary forever)."""
+    from abstracts_search_spark.sources import tables
+
+    ix = str(tmp_path / "ix")
+    build_index(spark, small_dir, ix, max_parts=2, **BUILD_KW)
+    tables._FAIL_AFTER = "dictionary"
+    try:
+        with pytest.raises(tables.InjectedCrash):
+            build_index(spark, small_dir, ix, max_parts=3, **BUILD_KW)  # part 2
+    finally:
+        tables._FAIL_AFTER = None
+    # part 3 "arrives" before the retry; one rerun ingests it and re-merges
+    build_index(spark, small_dir, ix, **BUILD_KW)
+
+    got = _dict_rows(spark, ix)
+    full = sorted(
+        (int(r["term_id"]), int(r["df"]), int(r["bucket"]))
+        for r in read_table(spark, ix, "postings")
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.first("bucket").alias("bucket"))
+        .collect()
+    )
+    assert got == full
+    srow = read_table(spark, ix, "stats").collect()[0]
+    want = (
+        read_table(spark, ix, "docmap")
+        .agg(F.count("*").alias("n"), F.sum("doclen").alias("t"))
+        .collect()[0]
+    )
+    assert int(srow["n_docs"]) == int(want["n"])
+    assert int(srow["total_tokens"]) == int(want["t"])
+    scratch = str(tmp_path / "scratch")
+    build_index(spark, small_dir, scratch, **BUILD_KW)
+    assert _results(spark, ix) == _results(spark, scratch)
+
+
+def test_flat_lineage_layout_is_refused(spark, small_dir, tmp_path):
+    """Extending a pre-format-4 index (flat lineage files) must fail loudly
+    BEFORE any write — appending src_part= dirs would corrupt the table."""
+    ix = str(tmp_path / "ix")
+    os.makedirs(os.path.join(ix, "lineage"))
+    with open(os.path.join(ix, "lineage", "part-00000.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    with pytest.raises(RuntimeError, match="flat lineage layout"):
+        build_index(spark, small_dir, ix, **BUILD_KW)
+
+
 # ------------------------------------------------------- auto-compaction --
 
 
@@ -262,10 +314,12 @@ def test_auto_compaction_bounds_generations(spark, small_dir, tmp_path):
     want = _results(spark, scratch)
 
     ix = str(tmp_path / "ix")
-    # syncs: parts {0} → gen0, {1} → gen1, {2} → gen2 trips max_generations=2
+    # syncs: parts {0} → gen0, {1} → gen1, {2} → gen2 trips max_generations=2.
+    # Only the FIRST merge sets the policy explicitly — later syncs pass
+    # nothing and must honor the value persisted in params.json
     for n in (1, 2, 3, 4):
         build_index(spark, small_dir, ix, max_parts=n, skip_merge=True, **BUILD_KW)
-        merge_index(spark, ix, max_generations=2, **BUILD_KW)
+        merge_index(spark, ix, max_generations=2 if n == 1 else None, **BUILD_KW)
         gens = {d for d in os.listdir(os.path.join(ix, "postings")) if d.startswith("gen=")}
         assert len(gens) <= 3  # bound holds at every point (compaction folds)
     assert _results(spark, ix) == want
@@ -391,6 +445,10 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # non-convergence (diameter > max_iter rounds) must raise, never return
+    # split clusters silently
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
 
 
 def test_dedup_clusters_end_to_end(spark):
