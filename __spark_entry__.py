@@ -229,6 +229,22 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_load(spark, sf_dir, "documents"))
 
 
+def _q_documents_deduped(spark, sf_dir):
+    # the drop-list APPLIED: corpus minus non-canonical near-dup cluster
+    # members (left-anti join against the keep=0 set)
+    docs = _load(spark, sf_dir, "documents")
+    drop = dedup.dedup_clusters(docs).filter(F.col("keep") == 0).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+def _q_phrase_match(spark, sf_dir):
+    # exact phrase search over the normalized token stream (pure Catalyst,
+    # operators/phrase.py); mixed-case input exercises query normalization
+    from abstracts_search_spark.operators.phrase import phrase_matches
+
+    return phrase_matches(_load(spark, sf_dir, "documents"), "Merge SPARK", top=20)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash64(_load(spark, sf_dir, "documents"))
 
@@ -312,6 +328,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "documents_deduped": _q_documents_deduped,
+        "phrase_match": _q_phrase_match,
         "simhash64": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -567,6 +585,35 @@ reach(n, m) AS (
 )
 SELECT n AS doc_id, MIN(m) AS cluster_id, CAST(n = MIN(m) AS INTEGER) AS keep
 FROM reach GROUP BY n
+""",
+        "documents_deduped": f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql(sh_cte)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM edges GROUP BY a
+  UNION
+  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+),
+drop_set AS (SELECT n FROM reach GROUP BY n HAVING n <> MIN(m))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM drop_set)
+""",
+        "phrase_match": f"""
+WITH s AS (
+  SELECT doc_id,
+         ' ' || array_to_string({_TOK.format(col='text')}, ' ') || ' ' AS norm
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST((len(norm) - len(replace(norm, ' merge spark ', ''))) / len(' merge spark ') AS INTEGER) AS n_hits
+  FROM s
+)
+SELECT doc_id, n_hits FROM c WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id LIMIT 20
 """,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -464,6 +464,36 @@ def test_dedup_clusters_end_to_end(spark):
     assert got == [(100, 100, 1), (101, 100, 0), (102, 100, 0), (103, 100, 0)]
 
 
+# ---------------------------------------------------------- phrase search --
+
+
+def test_phrase_matches_exact_and_normalized(spark):
+    from abstracts_search_spark.operators.phrase import phrase_matches
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "beta alpha beta gamma alpha"),
+            (2, "alpha, BETA! gamma"),  # punctuation/case normalize away
+            (3, "alpha gamma beta"),    # right words, wrong order: no match
+            (4, "xalpha beta gamma"),   # token boundary: 'xalpha' != 'alpha'
+            (5, None),
+            # IMMEDIATELY adjacent repeats share a delimiter space: counted
+            # once (the documented non-overlapping rule, same in the oracle)
+            (6, "alpha beta alpha beta"),
+            (7, "alpha beta x alpha beta y alpha beta"),  # separated: 3 hits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in phrase_matches(docs, "Alpha BETA").collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 6: 1, 7: 3}
+    # rank order: n_hits DESC then doc_id ASC
+    order = [r["doc_id"] for r in phrase_matches(docs, "alpha beta").collect()]
+    assert order == [7, 0, 1, 2, 6]
+    assert phrase_matches(docs, "☃ ☃").count() == 0
+    assert phrase_matches(docs, "beta gamma").filter(F.col("doc_id") == 3).count() == 0
+
+
 # ---------------------------------------------------- fixture invariants ---
 
 
