@@ -464,6 +464,38 @@ def test_dedup_clusters_end_to_end(spark):
     assert got == [(100, 100, 1), (101, 100, 0), (102, 100, 0), (103, 100, 0)]
 
 
+# -------------------------------------------------- plan-shape regression --
+
+
+def test_query_plan_prunes_buckets_and_pushes_terms(spark, small_dir, tmp_path):
+    """Lock in the scale-critical physical-plan properties of the query path
+    (PLANS.md): bucket PARTITION pruning (the IVF-probe analog), the
+    In(term_id,…) predicate pushed into the parquet scan (row-group pruning
+    against term_id-sorted files), and broadcast hydration of the k-row
+    result — so a refactor can't silently regress them into full scans."""
+    ix = str(tmp_path / "ix")
+    build_index(spark, small_dir, ix, **BUILD_KW)
+    r = IndexReader(spark, ix)
+    df = r.query("index merge spark", k=10)
+    plan = df._jdf.queryExecution().toString()
+
+    # the postings scan is the one reading the encoded posting columns
+    postings_scan = next(
+        seg for seg in plan.split("FileScan parquet") if "doc_bin" in seg.split("\n")[0]
+    )
+    head = postings_scan.split("ReadSchema", 1)[0]
+    assert "PartitionFilters" in head
+    pf = head.split("PartitionFilters", 1)[1]
+    assert "bucket" in pf[:300], pf[:300]
+    assert "PushedFilters" in head
+    pushed = head.split("PushedFilters", 1)[1]
+    assert "term_id" in pushed[:300], pushed[:300]
+    # top-k is a bounded TakeOrderedAndProject, never a global sort of scores
+    assert "TakeOrderedAndProject" in plan
+    # hydration joins the k-row side as the broadcast build side
+    assert "BroadcastHashJoin" in plan
+
+
 # ---------------------------------------------------------- phrase search --
 
 
