@@ -526,6 +526,31 @@ def test_phrase_matches_exact_and_normalized(spark):
     assert phrase_matches(docs, "beta gamma").filter(F.col("doc_id") == 3).count() == 0
 
 
+def test_phrase_count_matches_python_reference(spark):
+    """Catalyst replace-arithmetic == independent str.count on random token
+    streams (both are non-overlapping left-to-right)."""
+    import numpy as np
+
+    from abstracts_search_spark.functions.tokenize import _TOKEN_RE
+    from abstracts_search_spark.operators.phrase import phrase_count_expr
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "Dd!"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 30)).tolist()))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", phrase_count_expr("text", "aa bb").alias("n")).collect()
+    }
+    for i, text in rows:
+        toks = [m.lower() for m in _TOKEN_RE.findall(text)]
+        want = (" " + " ".join(toks) + " ").count(" aa bb ")
+        assert got[i] == want, (i, text)
+
+
 # ---------------------------------------------------- fixture invariants ---
 
 
