@@ -263,15 +263,26 @@ def make_multi_scorer(
     for query batches — one Spark job for the whole reference query set.
     Returns an applyInPandas fn -> (query_id, doc_id, score) top-k per query.
     """
+    # A term's idf is GLOBAL (df over the whole corpus), so its per-doc BM25
+    # contribution is identical for every query referencing it — that is what
+    # lets each posting row be decoded AND scored exactly once per shard. The
+    # invariant is ASSERTED here (driver-side, at closure creation) instead of
+    # silently last-write-wins: a future caller passing per-query idfs for the
+    # same term would otherwise corrupt every other query's scores.
+    term_idf: dict[int, float] = {}
+    for qid, idfs in query_idfs.items():
+        for t, i in idfs.items():
+            prev = term_idf.setdefault(t, i)
+            if prev != i:
+                raise ValueError(
+                    f"make_multi_scorer: term_id {t} has conflicting idf values "
+                    f"({prev} vs {i} in query {qid}); idf must be derived from "
+                    "the global df for every query"
+                )
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         # a term may appear in MULTIPLE rows of one shard (one per index
         # generation, disjoint doc sub-ranges) — accumulate, never overwrite.
-        # A term's idf is GLOBAL (df over the whole corpus), so its per-doc
-        # BM25 contribution is identical for every query referencing it:
-        # decode AND score each posting row exactly ONCE, then each query is
-        # pure bincount accumulation over precomputed (idx, contrib) pairs.
-        term_idf = {t: i for idfs in query_idfs.values() for t, i in idfs.items()}
         decoded: dict[int, list[tuple]] = {}
         base = int(pdf["first_doc"].min())
         hi = int(pdf["last_doc"].max())

@@ -37,6 +37,27 @@ def _query_tids(text: str) -> dict[int, str]:
     return {term_id_of(t): t for t in sorted(set(tokenize_pd(pd.Series([text]))[0]))}
 
 
+def _env_cache_limit(default: int) -> int:
+    """SPARK_GRAFT_DICT_CACHE_TERMS, parsed defensively: non-integer values
+    fall back to the default with a warning instead of crashing reader
+    construction, and negative values clamp to 0 (cache disabled) rather than
+    silently disabling both caches with a nonsense cap."""
+    raw = os.environ.get("SPARK_GRAFT_DICT_CACHE_TERMS")
+    if raw is None:
+        return default
+    try:
+        return max(0, int(raw))
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_DICT_CACHE_TERMS={raw!r} is not an integer; "
+            f"using default {default}",
+            stacklevel=3,
+        )
+        return default
+
+
 def indexed_topk_inmem(
     docs: DataFrame,
     query_text: str,
@@ -99,14 +120,6 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str, max_cached_terms: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "params.json")) as f:
-            self.params = json.load(f)
-        row = read_table(spark, index_dir, "stats").collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
-        self.postings = read_table(spark, index_dir, "postings")
-        self.dictionary = read_table(spark, index_dir, "dictionary")
-        self.docmap = read_table(spark, index_dir, "docmap")
         # vocabularies at or under the reference's quantizer size are cached
         # driver-side LAZILY (first lookup), so term lookup costs zero Spark
         # jobs per query and reader construction runs no vocabulary-sized job
@@ -116,8 +129,29 @@ class IndexReader:
         self._cache_limit = (
             max_cached_terms
             if max_cached_terms is not None
-            else int(os.environ.get("SPARK_GRAFT_DICT_CACHE_TERMS", self.DICT_CACHE_TERMS))
+            else _env_cache_limit(self.DICT_CACHE_TERMS)
         )
+        self._params_sig: tuple[int, int] | None = None
+        self._attach()
+
+    def _attach(self) -> None:
+        """(Re)bind to the on-disk index state: params, stats, table handles,
+        empty caches. Called at construction and whenever ``_refresh_if_stale``
+        detects that a sync/compaction rewrote params.json — a long-lived
+        reader that spans an incremental merge must not keep serving frozen
+        n_docs/avgdl or stale dictionary misses (a cached None would silently
+        treat newly indexed terms as absent forever)."""
+        self._params_sig = self._params_signature()
+        with open(os.path.join(self.index_dir, "params.json")) as f:
+            self.params = json.load(f)
+        row = read_table(self.spark, self.index_dir, "stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+        # table handles are re-created too: a DataFrame's file index is frozen
+        # at read time, so a new gen=G partition dir is invisible to old handles
+        self.postings = read_table(self.spark, self.index_dir, "postings")
+        self.dictionary = read_table(self.spark, self.index_dir, "dictionary")
+        self.docmap = read_table(self.spark, self.index_dir, "docmap")
         # vocab size is recorded at merge time (params.json n_terms); absent
         # (pre-format-4 index) means unknown → treated as large, never counted
         self._n_terms: int | None = self.params.get("n_terms")
@@ -127,6 +161,16 @@ class IndexReader:
         # zero Spark jobs after their first appearance while driver memory
         # stays O(distinct queried terms), never O(vocab)
         self._lookup_cache: dict[int, tuple[int, int] | None] = {}
+
+    def _params_signature(self) -> tuple[int, int]:
+        st = os.stat(os.path.join(self.index_dir, "params.json"))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _refresh_if_stale(self) -> None:
+        """One cheap stat() per query: params.json is rewritten LAST by every
+        merge/compaction, so its (mtime, size) is a complete change signal."""
+        if self._params_signature() != self._params_sig:
+            self._attach()
 
     def _cached_dict(self) -> dict[int, tuple[int, int]] | None:
         if self._dict_cache is None and self._n_terms is not None and self._n_terms <= self._cache_limit:
@@ -140,6 +184,7 @@ class IndexReader:
         """string terms -> [{term, term_id, df, bucket}] for terms in the index."""
         if not terms:
             return []
+        self._refresh_if_stale()
         tids = {term_id_of(t): t for t in terms}
         cache = self._cached_dict()
         if cache is not None:
