@@ -254,9 +254,41 @@ def _q_ann_cosine(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_K)
 
 
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once / query-many for the persisted ANN index (mirrors
+    _doc_index_reader): the LSH-bucketed vectors table for `sf_dir` is built
+    into a persistent cache dir on first use (ann_params.json, written last,
+    is the completeness marker + format stamp); every subsequent query probes
+    it with bucket PARTITION pruning instead of re-bucketing the corpus."""
+    import json
+    import shutil
+
+    from abstracts_search_spark.operators.similarity import (
+        ANN_INDEX_FORMAT,
+        build_ann_index,
+    )
+
+    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    idx = os.path.join(_REPO, "data", "cache", f"annindex_{tag}")
+    params_path = os.path.join(idx, "ann_params.json")
+    stale = False
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stale = json.load(f).get("format") != ANN_INDEX_FORMAT
+    if stale:
+        shutil.rmtree(idx, ignore_errors=True)
+    if not os.path.exists(params_path) or stale:
+        os.makedirs(idx, exist_ok=True)
+        build_ann_index(_load(spark, sf_dir, "embeddings"), idx)
+    return idx
+
+
 def _q_ann_lsh(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, _query_vec(spark, sf_dir), k=ANN_K)
+    # the SCALE path: probe the persisted bucket-partitioned ANN index
+    # (partition pruning reads only the probed buckets' files) — same results
+    # as the unindexed ann_lsh_topk scan, same DuckDB oracle
+    idx = _ann_index_dir(spark, sf_dir)
+    return similarity.ann_index_topk(spark, idx, _query_vec(spark, sf_dir), k=ANN_K)
 
 
 def _q_embedding_dups(spark, sf_dir):

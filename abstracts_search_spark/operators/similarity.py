@@ -250,6 +250,11 @@ def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return out.cast("int")
 
 
+# bumped when the persisted ANN artifact layout or bucketize math changes —
+# cached index dirs built with an older format are rebuilt
+ANN_INDEX_FORMAT = 2
+
+
 def build_ann_index(
     emb: DataFrame,
     out_dir: str,
@@ -263,25 +268,53 @@ def build_ann_index(
     The on-disk analog of the reference's IVF fill (/root/reference/
     Makefile:24-25): vectors grouped into inverted lists by coarse bucket so a
     query reads only its probed buckets' FILES (partition pruning), not just
-    filters them post-scan. Written through the table facade like every other
-    index artifact, so a rebuild-overwrite is crash-atomic (tmp→swap);
+    filters them post-scan. Bucket bits are computed with ONE float64 GEMM per
+    Arrow batch (mapInPandas) — Catalyst higher-order-function lambdas
+    evaluate interpreted, so the per-row ``bucket_expr`` fold would be the
+    build's CPU ceiling at 100 TB. Written through the table facade like every
+    other index artifact, so a rebuild-overwrite is crash-atomic (tmp→swap);
     ann_params.json (the plane seed sidecar) lands LAST as the completeness
     marker.
     """
     import json
     import os
+    from typing import Iterator
+
+    import pandas as pd
 
     from ..sources.tables import commit
 
     planes = hyperplanes(_dim_of(emb, vec_col), n_planes, seed)
-    bucketed = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    weights = (1 << np.arange(n_planes, dtype=np.int64)).reshape(1, n_planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = m @ planes.T >= 0  # (n, n_planes), float64 — matches the
+            # oracle's per-plane double dot products for any non-degenerate input
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": list(pdf[vec_col]),
+                    "bucket": (bits * weights).sum(axis=1).astype(np.int32),
+                }
+            )
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    bucketed = emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"vec_id long, embedding {vec_type}, bucket int"
     )
     commit(bucketed, out_dir, "vectors", partition_by=["bucket"], repartition_by=["bucket"])
     with open(os.path.join(out_dir, "ann_params.json"), "w") as f:
-        json.dump({"n_planes": n_planes, "seed": seed, "dim": int(planes.shape[1])}, f)
+        json.dump(
+            {
+                "n_planes": n_planes,
+                "seed": seed,
+                "dim": int(planes.shape[1]),
+                "format": ANN_INDEX_FORMAT,
+            },
+            f,
+        )
 
 
 def ann_index_topk(
