@@ -245,6 +245,14 @@ def _q_phrase_match(spark, sf_dir):
     return phrase_matches(_load(spark, sf_dir, "documents"), "Merge SPARK", top=20)
 
 
+def _q_phrase_match_indexed(spark, sf_dir):
+    # the SCALE path: the same phrase through the persisted positional index
+    # (dictionary lookup -> bucket-pruned, term-pushed postings scan ->
+    # per-shard position intersection) — only the phrase terms' posting lists
+    # are read, never the corpus. Same oracle as phrase_match.
+    return _doc_index_reader(spark, sf_dir).phrase_query("Merge SPARK", k=20)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash64(_load(spark, sf_dir, "documents"))
 
@@ -362,6 +370,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_clusters": _q_dedup_clusters,
         "documents_deduped": _q_documents_deduped,
         "phrase_match": _q_phrase_match,
+        "phrase_match_indexed": _q_phrase_match_indexed,
         "simhash64": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -408,6 +417,25 @@ ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {k}
 _SHINGLES = (
     "list_transform(range(1, len(t) - 1), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
 )
+
+# double-space padding between tokens (operators/phrase.py): adjacent phrase
+# occurrences never share delimiter chars, so the non-overlapping replace
+# arithmetic counts every one of them — identical in Spark and the indexed
+# position-intersection path
+_PHRASE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         ' ' || array_to_string({_TOK.format(col='text')}, '  ') || ' ' AS norm
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST((len(norm) - len(replace(norm, ' merge  spark ', ''))) / len(' merge  spark ') AS INTEGER) AS n_hits
+  FROM s
+)
+SELECT doc_id, n_hits FROM c WHERE n_hits > 0
+ORDER BY n_hits DESC, doc_id LIMIT 20
+"""
 
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
 
@@ -633,20 +661,8 @@ reach(n, m) AS (
 drop_set AS (SELECT n FROM reach GROUP BY n HAVING n <> MIN(m))
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM drop_set)
 """,
-        "phrase_match": f"""
-WITH s AS (
-  SELECT doc_id,
-         ' ' || array_to_string({_TOK.format(col='text')}, ' ') || ' ' AS norm
-  FROM documents
-),
-c AS (
-  SELECT doc_id,
-         CAST((len(norm) - len(replace(norm, ' merge spark ', ''))) / len(' merge spark ') AS INTEGER) AS n_hits
-  FROM s
-)
-SELECT doc_id, n_hits FROM c WHERE n_hits > 0
-ORDER BY n_hits DESC, doc_id LIMIT 20
-""",
+        "phrase_match": _PHRASE_SQL,
+        "phrase_match_indexed": _PHRASE_SQL,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 s AS (

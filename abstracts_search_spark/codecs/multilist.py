@@ -51,11 +51,16 @@ def encode_posting_lists(
     dls: np.ndarray,
     bounds: np.ndarray,
     block: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode T posting lists in one pass.
 
     docs/tfs/dls: concatenated arrays, sorted by doc WITHIN each list;
     bounds: int64 array of length T+1 — list t occupies [bounds[t], bounds[t+1]).
+    ``positions`` (optional): within-doc token positions, flat across ALL
+    lists in the same (list, doc) order — entry i's tfs[i] positions are
+    contiguous and ascending. Encoded gap-restarted at every doc, with
+    per-block byte offsets (bit-compatible with the single-list codec).
     Returns dict of T-length lists/arrays matching the single-list row schema.
     """
     docs = np.asarray(docs, dtype=np.int64)
@@ -87,6 +92,21 @@ def encode_posting_lists(
     tf_all = encode_varint(tfs.astype(np.uint64))
     dl_all = encode_varint(dls.astype(np.uint64))
 
+    pos_all = pos_cum = occ_bounds = None
+    if positions is not None:
+        pos = np.asarray(positions, dtype=np.int64)
+        occ_bounds = np.zeros(n + 1, dtype=np.int64)  # entry i's positions are
+        np.cumsum(tfs, out=occ_bounds[1:])            # [occ_bounds[i], occ_bounds[i+1])
+        if pos.shape[0] != occ_bounds[-1]:
+            raise ValueError("positions length must equal sum(tfs)")
+        pgaps = pos.copy()
+        pgaps[1:] -= pos[:-1]
+        pgaps[occ_bounds[:-1]] = pos[occ_bounds[:-1]]  # restart at every doc
+        if np.any(pgaps < 0):
+            raise ValueError("positions not ascending within doc")
+        pos_cum = _cum_bytes(pgaps.astype(np.uint64))
+        pos_all = encode_varint(pgaps.astype(np.uint64))
+
     block_last = docs[blk_ends]
     block_max_tf = np.maximum.reduceat(tfs, blk_starts).astype(np.int32)
     block_min_dl = np.minimum.reduceat(dls, blk_starts).astype(np.int32)
@@ -107,11 +127,27 @@ def encode_posting_lists(
         "doc_offs": [],
         "tf_offs": [],
         "dl_offs": [],
+        "pos_bin": [],
+        "pos_offs": [],
     }
     for t in range(T):
         s, e = bounds[t], bounds[t + 1]
         bs, be = nb_cum[t], nb_cum[t + 1]
         starts_t = blk_starts[bs:be]
+        if positions is None:
+            out["pos_bin"].append(None)
+            out["pos_offs"].append(None)
+        else:
+            ps, pe = pos_cum[occ_bounds[s]], pos_cum[occ_bounds[e]]
+            out["pos_bin"].append(pos_all[ps:pe])
+            out["pos_offs"].append(
+                (
+                    np.concatenate(
+                        [pos_cum[occ_bounds[starts_t]], pos_cum[occ_bounds[e : e + 1]]]
+                    )
+                    - ps
+                ).astype(np.int32)
+            )
         out["doc_bin"].append(doc_all[doc_cum[s] : doc_cum[e]])
         out["tf_bin"].append(tf_all[tf_cum[s] : tf_cum[e]])
         out["dl_bin"].append(dl_all[dl_cum[s] : dl_cum[e]])
@@ -140,10 +176,13 @@ def decode_posting_lists(
     dl_bins: list[bytes],
     dfs: np.ndarray,
     block: int = BLOCK_SIZE,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    pos_bins: list[bytes] | None = None,
+):
     """Decode R posting lists in one pass -> (docs, tfs, dls, bounds).
 
     bounds has length R+1; list r occupies [bounds[r], bounds[r+1]).
+    With ``pos_bins`` the return gains a 5th element: the flat within-doc
+    positions array (doc-major across all lists, entry i owns tfs[i] values).
     """
     dfs = np.asarray(dfs, dtype=np.int64)
     bounds = np.zeros(dfs.shape[0] + 1, dtype=np.int64)
@@ -161,4 +200,14 @@ def decode_posting_lists(
     base[1:] = c[blk_starts[1:] - 1]
     seg_sizes = np.diff(np.concatenate([blk_starts, [n]]))
     docs = c - np.repeat(base, seg_sizes)
-    return docs, tfs, dls, bounds
+    if pos_bins is None:
+        return docs, tfs, dls, bounds
+    n_pos = int(tfs.sum())
+    pgaps = decode_varint(b"".join(pos_bins), count=n_pos).astype(np.int64)
+    occ_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=occ_starts[1:])
+    pc = np.cumsum(pgaps)
+    pbase = np.zeros(n, dtype=np.int64)
+    pbase[1:] = pc[occ_starts[1:] - 1]
+    pos = pc - np.repeat(pbase, tfs)
+    return docs, tfs, dls, bounds, pos

@@ -248,6 +248,41 @@ def embedding_dup_lsh(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "em
     return cosine_pairs_lsh(emb, top=top, id_col=id_col, vec_col=vec_col)
 
 
+class _Checkpointer:
+    """Checkpoint DataFrames with REAL cleanup of superseded rounds.
+
+    ``DataFrame.unpersist`` on a checkpointed frame is a no-op (it only drops
+    cache-manager entries, not the checkpointed RDD's blocks/files), so an
+    iterative algorithm would accumulate one round's worth of executor
+    storage per iteration until the ContextCleaner happens to GC it. This
+    helper reaches the actual checkpointed RDD through the frame's analyzed
+    plan (a ``LogicalRDD``) and, on ``release``, unpersists its blocks
+    (localCheckpoint) or deletes its checkpoint directory via the Hadoop FS
+    API (durable checkpoint) — deterministic storage, no GC timing.
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.durable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if self.durable else df.localCheckpoint(eager=True)
+
+    def release(self, df: DataFrame) -> None:
+        try:
+            rdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return  # not a plain checkpointed frame — nothing we own to free
+        if self.durable:
+            opt = rdd.getCheckpointFile()
+            if opt.isDefined():
+                jvm = self.spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(opt.get())
+                fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+                fs.delete(p, True)
+        rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "doc_a",
@@ -259,34 +294,36 @@ def connected_components(
 
     The missing step between near-dup PAIRS (minhash_lsh_pairs /
     embedding_dup_lsh) and actionable dedup: transitively-linked documents
-    form one cluster with one canonical representative. Implemented as
-    distributed min-label propagation — per round, every node takes the min
-    label over itself and its neighbors (one join + one groupBy, both plain
-    shuffles Catalyst plans); rounds repeat until a fixpoint, which takes
-    O(component diameter) rounds. Near-dup graphs have tiny components
-    (chains of boilerplate variants), so convergence is a handful of rounds
-    even at 10^9 docs; for adversarially long chains the same loop accepts
-    the large-star/small-star edge rewrite. Lineage is truncated with
-    localCheckpoint per round so the plan never grows with iterations (on a
-    real cluster, point spark.checkpoint.dir at durable storage instead).
+    form one cluster with one canonical representative. Distributed min-label
+    propagation with POINTER JUMPING: per round every node takes the min
+    label over itself and its neighbors (one join + one groupBy), then
+    shortcuts through its own label (``comp ← comp(comp)``, one more join) —
+    the label-distance to the component minimum roughly doubles away each
+    round, so convergence is O(log diameter) rounds instead of O(diameter)
+    (union-find path halving, the same contraction idea as the
+    large-star/small-star MapReduce algorithm). A 10k-node path graph
+    converges in ~15 rounds (tested). Invariant kept by both steps: a node's
+    label is always the id of a node in ITS component and never increases, so
+    the fixpoint is the component minimum.
+
+    Each round's labels are checkpointed (durable when the session has a
+    checkpoint dir, executor-local otherwise) so the plan never grows with
+    iterations, and the PREVIOUS round's checkpoint is freed at the RDD level
+    once its successor is materialized (_Checkpointer.release).
     """
     spark = edges.sparkSession
-    # durable checkpoints when the session has a checkpoint dir (the real-
-    # cluster configuration); executor-local truncation otherwise
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
-        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
-    else:
-        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    ck = _Checkpointer(spark)
     # materialized ONCE: every round's join re-reads this checkpoint instead
     # of re-running the union+distinct shuffle from source
-    sym = _ckpt(
+    sym = ck.checkpoint(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
     )
-    labels = _ckpt(
+    labels = ck.checkpoint(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
+    prev_ck = labels  # the checkpointed frame itself (release needs its plan)
     changed = -1
     for _ in range(max_iter):
         nbr_min = (
@@ -294,31 +331,39 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = _ckpt(
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
+        stepped = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("mid"),
+        )
+        # pointer jump: follow the label one hop (mid(u) is a node; take ITS
+        # mid) — labels only decrease, so least() is just safety
+        ptr = stepped.select(F.col("node").alias("pnode"), F.col("mid").alias("pcomp"))
+        new_comp = F.least(F.col("mid"), F.coalesce(F.col("pcomp"), F.col("mid")))
+        new_labels = ck.checkpoint(
+            stepped.join(ptr, stepped.mid == ptr.pnode, "left").select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("chg"),
+                new_comp.alias("comp"),
+                (new_comp < F.col("old_comp")).alias("chg"),
             )
         )
         changed = new_labels.filter(F.col("chg")).count()
-        labels.unpersist()  # previous round's checkpoint blocks are dead now
+        ck.release(prev_ck)  # previous round's checkpoint is dead now
+        prev_ck = new_labels
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:
         # silent non-convergence would split clusters (multiple 'canonical'
-        # docs in one true component) — fail loudly; raise max_iter (rounds
-        # needed = component diameter) or pre-contract long chains with a
-        # large-star/small-star edge rewrite
+        # docs in one true component) — fail loudly; with pointer jumping
+        # max_iter=25 covers component diameters up to ~10^7
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing): component diameter exceeds "
-            "max_iter"
+            "2^max_iter-ish reach"
         )
     out = labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
-    sym.unpersist()
+    ck.release(sym)
     return out
 
 

@@ -1,27 +1,34 @@
 """Exact phrase matching over the normalized token stream.
 
 The reference is an embedding engine with no phrase capability; a fulltext
-engine (this repo's tier) needs one. The brute path here is pure Catalyst:
-the per-doc normalized stream (the SAME ``' '.join(tokens)`` string the
-uninvert roundtrip reproduces, functions/uninvert.py) is searched for the
-normalized phrase with literal, boundary-padded `replace` arithmetic — no
-UDF, whole-stage codegen end to end, and the identical algorithm runs in the
-DuckDB oracle, so counts match bit-for-bit.
+engine (this repo's tier) needs one. Two paths, identical results (tested):
 
-Semantics: tokens are the engine's one tokenizer ([A-Za-z0-9]+, ascii-lower);
-a match is the phrase's tokens CONSECUTIVE in the stream. Occurrences are
-counted non-overlapping left-to-right (immediately adjacent repeats of the
-same phrase share a delimiter space and count once — deterministic and
-documented; both engines implement the same rule).
+- **brute** (`phrase_matches`) — pure Catalyst: the per-doc normalized stream
+  is searched with literal, boundary-padded `replace` arithmetic — no UDF,
+  whole-stage codegen end to end, and the identical algorithm runs in the
+  DuckDB oracle, so counts match bit-for-bit. A full corpus scan per query:
+  the correctness oracle.
+- **indexed** (`make_phrase_matcher`, driven by ``IndexReader.phrase_query``)
+  — the scale path: dictionary lookup → bucket-pruned, term-pushed postings
+  scan → per-shard POSITION intersection over the positional varint stream
+  (codecs/postings.py pos_bin). Only the phrase terms' posting lists are ever
+  read; the corpus is never scanned.
 
-At 100 TB the same predicate pushes into a scan over any column-pruned
-(doc_id, text) projection; a positional-postings index variant (positions as
-a fourth varint stream per posting) is the upgrade path if phrase queries
-ever dominate.
+Semantics (both paths): tokens are the engine's one tokenizer ([A-Za-z0-9]+,
+ascii-lower); a match is the phrase's tokens CONSECUTIVE in the stream.
+Occurrences are counted NON-OVERLAPPING left-to-right (a self-overlapping
+phrase like 'a a' in 'a a a' counts once — the standard rule; immediately
+adjacent repeats DO count separately: 'new york new york' contains
+'new york' twice). The brute stream is padded with TWO spaces between tokens
+(`' ' || join(tokens, '  ') || ' '`) so adjacent occurrences never share a
+delimiter — the replace arithmetic then implements exactly the greedy
+non-overlapping counter, and so does the oracle.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,18 +36,22 @@ from ..functions.tokenize import tokens_expr
 
 
 def _norm_stream(text: str | Column) -> Column:
-    """' ' + join(tokens, ' ') + ' ' — boundary-padded normalized stream."""
+    """' ' + join(tokens, '  ') + ' ' — boundary-padded normalized stream.
+    Double spaces BETWEEN tokens: adjacent phrase occurrences then never share
+    delimiter characters, so replace-arithmetic counts each of them."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.concat(F.lit(" "), F.array_join(tokens_expr(col), " "), F.lit(" "))
+    return F.concat(F.lit(" "), F.array_join(tokens_expr(col), "  "), F.lit(" "))
 
 
 def phrase_count_expr(text_col: str, phrase_norm: str) -> Column:
-    """Occurrences of the normalized phrase in the normalized stream.
+    """Greedy non-overlapping occurrences of the normalized phrase.
 
     count = (len(s) - len(replace(s, pat, ''))) / len(pat), pat boundary-
     padded — literal (non-regex) replace, identical in Spark and DuckDB.
+    ``phrase_norm``: the phrase's normalized tokens joined by ONE space (the
+    double-space join happens here).
     """
-    pat = f" {phrase_norm} "
+    pat = " " + "  ".join(phrase_norm.split(" ")) + " "
     s = _norm_stream(text_col)
     return (
         (F.length(s) - F.length(F.replace(s, F.lit(pat), F.lit(""))))
@@ -60,8 +71,6 @@ def phrase_matches(
     The phrase is normalized with the engine tokenizer before matching, so
     'Merge... SPARK!' and 'merge spark' are the same query.
     """
-    import pandas as pd
-
     from ..functions.tokenize import tokenize_pd
 
     toks = list(tokenize_pd(pd.Series([phrase]))[0])
@@ -73,3 +82,85 @@ def phrase_matches(
         phrase_count_expr(text_col, norm).alias("n_hits"),
     ).filter(F.col("n_hits") > 0)
     return out.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(top)
+
+
+def count_nonoverlapping(starts: np.ndarray, length: int) -> int:
+    """Greedy left-to-right non-overlapping count over sorted match starts
+    (token positions); a match at p occupies tokens [p, p+length)."""
+    n = 0
+    nxt = -1
+    for s in starts:
+        if s >= nxt:
+            n += 1
+            nxt = int(s) + length
+    return n
+
+
+def make_phrase_matcher(term_seq: list[int], k: int):
+    """Per-shard phrase matcher over POSITIONAL posting rows.
+
+    ``term_seq``: the phrase tokens' term_ids IN ORDER (duplicates allowed).
+    Returns an applyInPandas fn: one shard's posting rows (already filtered to
+    the phrase's term_ids) -> (doc_id, n_hits) for that shard's matching docs.
+    Shards tile the docID space disjointly, so per-shard results union cleanly
+    into a global TakeOrderedAndProject.
+
+    Algorithm: decode each term's (docs, tfs, positions) once (generations of
+    one term cover disjoint doc ranges — concatenate); candidate docs =
+    intersection over the phrase's DISTINCT terms; per candidate doc, start
+    positions = positions(t_0) ∩ (positions(t_1) − 1) ∩ … ∩
+    (positions(t_{L−1}) − (L−1)), then the greedy non-overlapping count —
+    identical to the brute replace-arithmetic (property-tested).
+    """
+    L = len(term_seq)
+    distinct = sorted(set(term_seq))
+
+    def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs.multilist import decode_posting_lists
+
+        dfs = pdf["df"].to_numpy(np.int64)
+        docs, tfs, _, _, pos = decode_posting_lists(
+            [bytes(b) for b in pdf["doc_bin"]],
+            [bytes(b) for b in pdf["tf_bin"]],
+            [bytes(b) for b in pdf["dl_bin"]],
+            dfs,
+            pos_bins=[bytes(b) for b in pdf["pos_bin"]],
+        )
+        entry_tid = np.repeat(pdf["term_id"].to_numpy(np.int64), dfs)
+        occ_bounds = np.zeros(tfs.shape[0] + 1, dtype=np.int64)
+        np.cumsum(tfs, out=occ_bounds[1:])
+
+        # per distinct term: entry indices sorted by doc (gens are disjoint
+        # doc ranges but may arrive unordered across rows)
+        per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for t in distinct:
+            idx = np.flatnonzero(entry_tid == t)
+            if idx.shape[0] == 0:
+                return pd.DataFrame({"doc_id": [], "n_hits": []})
+            o = np.argsort(docs[idx], kind="stable")
+            per_term[t] = (docs[idx][o], idx[o])
+
+        cand = per_term[distinct[0]][0]
+        for t in distinct[1:]:
+            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+            if cand.shape[0] == 0:
+                return pd.DataFrame({"doc_id": [], "n_hits": []})
+
+        out_d, out_n = [], []
+        for doc in cand:
+            starts = None
+            for i, t in enumerate(term_seq):
+                tdocs, tidx = per_term[t]
+                e = int(tidx[np.searchsorted(tdocs, doc)])
+                p = pos[occ_bounds[e] : occ_bounds[e + 1]] - i
+                starts = p if starts is None else np.intersect1d(starts, p, assume_unique=True)
+                if starts.shape[0] == 0:
+                    break
+            if starts is not None and starts.shape[0]:
+                n = count_nonoverlapping(starts, L)
+                if n > 0:
+                    out_d.append(int(doc))
+                    out_n.append(n)
+        return pd.DataFrame({"doc_id": out_d, "n_hits": out_n})
+
+    return match_shard

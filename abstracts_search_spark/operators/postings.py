@@ -50,7 +50,11 @@ _POSTING_COLS = (
     "term_id long, df long, first_doc long, last_doc long, "
     "doc_bin binary, tf_bin binary, dl_bin binary, "
     "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>, "
-    "doc_offs array<int>, tf_offs array<int>, dl_offs array<int>, n_blocks int"
+    "doc_offs array<int>, tf_offs array<int>, dl_offs array<int>, n_blocks int, "
+    # optional 4th varint stream (NULL when the index is built without
+    # positions): within-doc token positions, gap-restarted per doc, with
+    # per-block byte offsets — the phrase-search stream (codecs/postings.py)
+    "pos_bin binary, pos_offs array<int>"
 )
 
 SEGMENT_SCHEMA = f"src_part int, bucket int, shard long, {_POSTING_COLS}"
@@ -97,33 +101,49 @@ def _term_id_udf():
 
 _EMPTY_COLS = (
     "term_id df first_doc last_doc doc_bin tf_bin dl_bin block_last block_max_tf "
-    "block_min_dl doc_offs tf_offs dl_offs n_blocks"
+    "block_min_dl doc_offs tf_offs dl_offs n_blocks pos_bin pos_offs"
 ).split()
 
 
-def _encode_sorted(codes, uniques, docs, tfs, dls, head: dict) -> pd.DataFrame:
+def _encode_sorted(codes, uniques, docs, tfs, dls, head: dict, pos=None) -> pd.DataFrame:
     """codes/docs/tfs/dls sorted by (code, doc) -> one encoded row per code.
     All lists of a group are encoded in ONE vectorized codec pass
-    (codecs/multilist.py) — per-list Python work is just byte slicing."""
+    (codecs/multilist.py) — per-list Python work is just byte slicing.
+    ``pos``: flat within-doc positions aligned with the sorted entry order
+    (entry i owns tfs[i] contiguous ascending values)."""
     from ..codecs.multilist import encode_posting_lists
 
     if len(codes) == 0:
         out = pd.DataFrame({c: [] for c in _EMPTY_COLS})
     else:
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1, [len(codes)]])
-        enc = encode_posting_lists(docs, tfs, dls, bounds)
+        enc = encode_posting_lists(docs, tfs, dls, bounds, positions=pos)
         out = pd.DataFrame({"term_id": uniques[codes[bounds[:-1]]], **enc})
     for k, v in head.items():
         out[k] = v
     return out
 
 
-def _emit_rows(term_arr, doc_arr, tf_arr, dl_arr, head: dict) -> pd.DataFrame:
+def _gather_positions(pos_flat, tf_arr, order) -> np.ndarray:
+    """Reorder a flat occurrence-level positions array to follow a PAIR-level
+    permutation: entry i's tf_arr[i] positions are contiguous; after sorting
+    entries by ``order``, gather each entry's segment in the new order."""
+    from ..codecs.multilist import concat_aranges
+
+    tf_arr = np.asarray(tf_arr, dtype=np.int64)
+    starts = np.zeros(tf_arr.shape[0] + 1, dtype=np.int64)
+    np.cumsum(tf_arr, out=starts[1:])
+    idx = np.repeat(starts[:-1][order], tf_arr[order]) + concat_aranges(tf_arr[order])
+    return np.asarray(pos_flat, dtype=np.int64)[idx]
+
+
+def _emit_rows(term_arr, doc_arr, tf_arr, dl_arr, head: dict, pos_flat=None) -> pd.DataFrame:
     """Encode one posting row per term; tf pre-aggregated per (term, doc)."""
     codes, uniques = pd.factorize(term_arr, sort=False)
     order = np.lexsort((doc_arr, codes))
+    pos = _gather_positions(pos_flat, tf_arr, order) if pos_flat is not None else None
     return _encode_sorted(
-        codes[order], uniques, doc_arr[order], tf_arr[order], dl_arr[order], head
+        codes[order], uniques, doc_arr[order], tf_arr[order], dl_arr[order], head, pos=pos
     )
 
 
@@ -213,6 +233,7 @@ _PACKED_DOC_SCHEMA = (
     "src_part int, doc_id long, doclen int, "
     "bks array<int>, tslices array<array<long>>, fslices array<array<int>>"
 )
+_PACKED_DOC_SCHEMA_POS = _PACKED_DOC_SCHEMA + ", pslices array<array<array<int>>>"
 
 
 def pack_doc_tokens(
@@ -220,68 +241,132 @@ def pack_doc_tokens(
     buckets: int = DEFAULT_BUCKETS,
     shard_docs: int = DEFAULT_SHARD_DOCS,
     text_col: str = "document",
+    with_positions: bool = False,
 ) -> DataFrame:
     """docs(doc_id, src_part, doclen, <text_col>) -> (doc, bucket)-packed rows
-    (src_part, bucket, shard, doc_id, doclen, term_ids array, tfs array).
+    (src_part, bucket, shard, doc_id, doclen, term_ids array, tfs array
+    [, positions array<array<int>> when ``with_positions``]).
 
     The shuffle-compression stage: tokenize + per-doc tf-count + term_id +
     bucket assignment happen in ONE Arrow pass emitting a single nested row
-    per doc (Counter + a dict-cached blake2b-8 per UNIQUE term — ~100µs/doc);
-    the cheap fan-out to (doc, bucket) granularity is a codegen'd JVM
+    per doc; the cheap fan-out to (doc, bucket) granularity is a codegen'd JVM
     arrays_zip+explode. The exchange that follows moves ~tokens/12 packed rows
     of fixed-width int64 ids instead of one string row per token occurrence —
     at 100 TB the token-stream shuffle is the single largest data movement of
     the build, and its bytes (strings vs ints) set the memory-bandwidth floor.
+
+    The per-token work is numpy-vectorized: one regex findall per doc, then a
+    single ``pd.factorize`` over the batch's flat token stream; lowering and
+    blake2b hashing run once per UNIQUE raw token of the batch (with a
+    cross-batch cache), tf counting is a run-length pass over the
+    (doc, bucket, term_id)-lexsorted stream — no per-OCCURRENCE Python.
+    ``with_positions`` additionally carries each occurrence's within-doc token
+    index (the phrase-search stream, ascending per (doc, term) by the stable
+    lexsort); it is off for the throughput build path.
     """
     from typing import Iterator
 
+    from ..codecs.multilist import concat_aranges
     from ..functions.tokenize import _TOKEN_RE
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
+    findall = _TOKEN_RE.findall
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         id_cache: dict[str, tuple[int, int]] = {}
         cache_get = id_cache.get
 
         for pdf in batches:
-            rows_bks, rows_ts, rows_fs = [], [], []
-            keep = []
-            for i, text in enumerate(pdf[text_col]):
-                toks = [m.lower() for m in _TOKEN_RE.findall(text or "")]
-                if not toks:
-                    continue
-                by_bucket: dict[int, tuple[list, list]] = {}
-                for t, n in Counter(toks).items():
-                    tb = cache_get(t)
+            toks_per_doc = [findall(t) if t else [] for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+            )
+            flat = np.asarray(
+                [tok for toks in toks_per_doc for tok in toks], dtype=object
+            )
+            out_cols = {
+                "bks": [], "tslices": [], "fslices": [],
+                **({"pslices": []} if with_positions else {}),
+            }
+            keep: list[int] = []
+            if flat.shape[0]:
+                codes, uniques = pd.factorize(flat, sort=False)
+                # lower + hash once per unique RAW token (case variants of one
+                # term get distinct codes here but the same term_id below — the
+                # run-length tf pass merges them because it keys on term_id)
+                utids = np.empty(uniques.shape[0], dtype=np.int64)
+                ubks = np.empty(uniques.shape[0], dtype=np.int64)
+                for j, u in enumerate(uniques):
+                    lu = u.lower()
+                    tb = cache_get(lu)
                     if tb is None:
-                        tid = term_id_of(t)
+                        tid = term_id_of(lu)
                         tb = (tid, tid % buckets)
-                        id_cache[t] = tb
-                    slot = by_bucket.get(tb[1])
-                    if slot is None:
-                        slot = ([], [])
-                        by_bucket[tb[1]] = slot
-                    slot[0].append(tb[0])
-                    slot[1].append(n)
-                keep.append(i)
-                rows_bks.append(list(by_bucket.keys()))
-                rows_ts.append([v[0] for v in by_bucket.values()])
-                rows_fs.append([v[1] for v in by_bucket.values()])
+                        id_cache[lu] = tb
+                    utids[j], ubks[j] = tb
+                tok_tid = utids[codes]
+                tok_bk = ubks[codes]
+                doc_idx = np.repeat(np.arange(lens.shape[0]), lens)
+                pos_in_doc = concat_aranges(lens)
+                # stable sort → positions stay ascending within each pair
+                order = np.lexsort((tok_tid, tok_bk, doc_idx))
+                d = doc_idx[order]
+                bk = tok_bk[order]
+                td = tok_tid[order]
+                ps = pos_in_doc[order]
+                # pair = (doc, term_id) run; bucket is a function of term_id
+                new_pair = np.empty(d.shape[0], dtype=bool)
+                new_pair[0] = True
+                np.logical_or(np.diff(d) != 0, np.diff(td) != 0, out=new_pair[1:])
+                pstarts = np.flatnonzero(new_pair)
+                occ_bounds = np.concatenate([pstarts, [d.shape[0]]])
+                tfs = np.diff(occ_bounds)
+                pair_doc, pair_bk, pair_tid = d[pstarts], bk[pstarts], td[pstarts]
+                # bucket groups within each doc, then docs
+                new_bg = np.empty(pstarts.shape[0], dtype=bool)
+                new_bg[0] = True
+                np.logical_or(
+                    np.diff(pair_doc) != 0, np.diff(pair_bk) != 0, out=new_bg[1:]
+                )
+                bgstarts = np.flatnonzero(new_bg)
+                bg_bounds = np.concatenate([bgstarts, [pstarts.shape[0]]])
+                bg_doc, bg_bk = pair_doc[bgstarts], pair_bk[bgstarts]
+                new_doc = np.empty(bgstarts.shape[0], dtype=bool)
+                new_doc[0] = True
+                new_doc[1:] = np.diff(bg_doc) != 0
+                dstarts = np.flatnonzero(new_doc)
+                d_bounds = np.concatenate([dstarts, [bgstarts.shape[0]]])
+                keep = bg_doc[dstarts].tolist()
+                for di in range(dstarts.shape[0]):
+                    s, e = d_bounds[di], d_bounds[di + 1]
+                    out_cols["bks"].append(bg_bk[s:e])
+                    ts_doc, fs_doc, ps_doc = [], [], []
+                    for g in range(s, e):
+                        a, b = bg_bounds[g], bg_bounds[g + 1]
+                        ts_doc.append(pair_tid[a:b])
+                        fs_doc.append(tfs[a:b])
+                        if with_positions:
+                            ps_doc.append(
+                                [ps[occ_bounds[i] : occ_bounds[i + 1]] for i in range(a, b)]
+                            )
+                    out_cols["tslices"].append(ts_doc)
+                    out_cols["fslices"].append(fs_doc)
+                    if with_positions:
+                        out_cols["pslices"].append(ps_doc)
             base = pdf.iloc[keep]
             yield pd.DataFrame(
                 {
                     "src_part": base["src_part"].to_numpy(),
                     "doc_id": base["doc_id"].to_numpy(),
                     "doclen": base["doclen"].to_numpy(),
-                    "bks": rows_bks,
-                    "tslices": rows_ts,
-                    "fslices": rows_fs,
+                    **out_cols,
                 }
             )
 
-    per_doc = docs.mapInPandas(run, schema=_PACKED_DOC_SCHEMA)
-    z = F.explode(F.arrays_zip("bks", "tslices", "fslices")).alias("z")
-    return per_doc.select("src_part", "doc_id", "doclen", z).select(
+    schema = _PACKED_DOC_SCHEMA_POS if with_positions else _PACKED_DOC_SCHEMA
+    per_doc = docs.mapInPandas(run, schema=schema)
+    zipped = ["bks", "tslices", "fslices"] + (["pslices"] if with_positions else [])
+    z = F.explode(F.arrays_zip(*zipped)).alias("z")
+    out = per_doc.select("src_part", "doc_id", "doclen", z).select(
         "src_part",
         F.col("z.bks").alias("bucket"),
         (F.col("doc_id") / F.lit(shard_docs)).cast("long").alias("shard"),
@@ -289,7 +374,9 @@ def pack_doc_tokens(
         "doclen",
         F.col("z.tslices").alias("term_ids"),
         F.col("z.fslices").alias("tfs"),
+        *([F.col("z.pslices").alias("positions")] if with_positions else []),
     )
+    return out
 
 
 def build_segments_packed(packed: DataFrame) -> DataFrame:
@@ -297,8 +384,11 @@ def build_segments_packed(packed: DataFrame) -> DataFrame:
 
     groupBy(src_part, bucket, shard) over packed rows; inside the UDF the
     arrays are flattened with numpy (concatenate/repeat — no per-token Python)
-    and encoded per term_id. Output ≡ build_segments_raw (tested).
+    and encoded per term_id. Output ≡ build_segments_raw (tested). When the
+    packed rows carry a ``positions`` column (pack_doc_tokens
+    ``with_positions``), the posting rows gain the pos_bin/pos_offs stream.
     """
+    with_positions = "positions" in packed.columns
 
     def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         src_part, bucket, shard = int(key[0]), int(key[1]), int(key[2])
@@ -307,8 +397,16 @@ def build_segments_packed(packed: DataFrame) -> DataFrame:
         tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
         dls = np.repeat(pdf["doclen"].to_numpy(np.int64), lens)
+        pos_flat = None
+        if with_positions:
+            pos_flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for row in pdf["positions"] for p in row]
+                or [np.empty(0, dtype=np.int64)]
+            )
         return _emit_rows(
-            tids, doc_ids, tfs, dls, {"src_part": src_part, "bucket": bucket, "shard": shard}
+            tids, doc_ids, tfs, dls,
+            {"src_part": src_part, "bucket": bucket, "shard": shard},
+            pos_flat=pos_flat,
         )
 
     return packed.groupBy("src_part", "bucket", "shard").applyInPandas(
@@ -330,18 +428,30 @@ def merge_segments(segments: DataFrame) -> DataFrame:
 
         bucket, shard = int(key[0]), int(key[1])
         dfs = pdf["df"].to_numpy(np.int64)
-        docs, tfs, dls, _ = decode_posting_lists(
-            [bytes(b) for b in pdf["doc_bin"]],
-            [bytes(b) for b in pdf["tf_bin"]],
-            [bytes(b) for b in pdf["dl_bin"]],
-            dfs,
-        )
+        with_pos = len(pdf) > 0 and pdf["pos_bin"].iloc[0] is not None
+        if with_pos:
+            docs, tfs, dls, _, pos_flat = decode_posting_lists(
+                [bytes(b) for b in pdf["doc_bin"]],
+                [bytes(b) for b in pdf["tf_bin"]],
+                [bytes(b) for b in pdf["dl_bin"]],
+                dfs,
+                pos_bins=[bytes(b) for b in pdf["pos_bin"]],
+            )
+        else:
+            docs, tfs, dls, _ = decode_posting_lists(
+                [bytes(b) for b in pdf["doc_bin"]],
+                [bytes(b) for b in pdf["tf_bin"]],
+                [bytes(b) for b in pdf["dl_bin"]],
+                dfs,
+            )
         row_codes, uniques = pd.factorize(pdf["term_id"].to_numpy(np.int64), sort=False)
         codes = np.repeat(row_codes, dfs)
         order = np.lexsort((docs, codes))
+        pos = _gather_positions(pos_flat, tfs, order) if with_pos else None
         return _encode_sorted(
             codes[order], uniques, docs[order], tfs[order], dls[order],
             {"bucket": bucket, "shard": shard},
+            pos=pos,
         )
 
     return segments.groupBy("bucket", "shard").applyInPandas(merge_group, schema=POSTINGS_SCHEMA)

@@ -49,12 +49,15 @@ from ..sources.tables import commit, read_table, table_exists
 # bumped whenever the on-disk artifact schema changes
 # (2 = int64 term_id keys; 3 = generation-stacked postings/gen=G/bucket=B;
 #  4 = params.json carries n_terms + max_generations, dictionary/stats carry
-#      a through_gen replay marker, lineage partitioned by src_part).
+#      a through_gen replay marker, lineage partitioned by src_part;
+#  5 = postings/segments carry the optional positional stream columns
+#      pos_bin/pos_offs (NULL when built without positions) and params.json
+#      records the ``positions`` capability flag).
 # A format mismatch makes merge_index re-derive every derived artifact from
 # segments+docmap; pre-4 indexes that already have FLAT lineage files must be
 # re-ingested into a fresh index_dir (mixing flat and src_part= lineage
 # layouts in one directory is not readable).
-INDEX_FORMAT = 4
+INDEX_FORMAT = 5
 
 # generation fan-out bound: every (term, shard) gains at most one postings row
 # per sync, so query-time rows grow linearly with generations — once a sync
@@ -105,8 +108,13 @@ def build_index(
     shard_docs: int = DEFAULT_SHARD_DOCS,
     max_parts: int | None = None,
     skip_merge: bool = False,
+    with_positions: bool = False,
 ) -> dict:
-    """Process pending source partitions, then (re)merge. Returns metrics."""
+    """Process pending source partitions, then (re)merge. Returns metrics.
+
+    ``with_positions`` adds the positional varint stream to every posting
+    (phrase queries); off by default — the throughput build path carries no
+    position bytes through its exchanges."""
     t0 = time.time()
     guard_lineage_layout(index_dir)
     pending = pending_partitions(spark, transcripts_dir, index_dir)
@@ -162,6 +170,7 @@ def build_index(
             fat.select("doc_id", "src_part", "doclen", "document"),
             buckets=buckets,
             shard_docs=shard_docs,
+            with_positions=with_positions,
         )
         segments = build_segments_packed(packed)
         # co-partition writes with the directory layout: one file per src_part
@@ -254,6 +263,7 @@ def build_doc_index(
     shard_docs: int = DEFAULT_SHARD_DOCS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_positions: bool = True,
 ) -> None:
     """One-shot index build over a pre-assembled documents table
     (id, text) — the persisted-index path for the flagship query: build ONCE,
@@ -262,7 +272,9 @@ def build_doc_index(
 
     Same artifact layout as build_index/merge_index; docmap's conv_id is the
     stringified doc_id (documents tables carry their own ids). params.json is
-    written LAST and doubles as the completeness marker.
+    written LAST and doubles as the completeness marker. Positions are ON by
+    default here (the doc index serves phrase queries too); the incremental
+    transcripts build (build_index) defaults them off.
     """
     spark = docs.sparkSession
     prepared = (
@@ -275,7 +287,9 @@ def build_doc_index(
         .filter(F.col("doclen") > 0)
         .persist()
     )
-    packed = pack_doc_tokens(prepared, buckets=buckets, shard_docs=shard_docs)
+    packed = pack_doc_tokens(
+        prepared, buckets=buckets, shard_docs=shard_docs, with_positions=with_positions
+    )
     postings = merge_segments(build_segments_packed(packed)).withColumn("gen", F.lit(0))
     commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
            repartition_by=["bucket"], sort_by=["term_id"], compression="uncompressed",
@@ -322,6 +336,7 @@ def build_doc_index(
                 "next_gen": 1,
                 "n_terms": int(n_terms),
                 "max_generations": DEFAULT_MAX_GENERATIONS,
+                "positions": bool(with_positions),
             },
             f,
         )
@@ -411,6 +426,11 @@ def merge_index(
     seg_parts = {
         int(r["src_part"]) for r in segments.select("src_part").distinct().collect()
     }
+    # positions capability is derived from segment CONTENT (one-row probe),
+    # not carried state — the destroy-derived-artifacts recovery path must
+    # reproduce the flag too (all segments of an index are homogeneous)
+    first_seg = segments.select("pos_bin").first()
+    has_positions = bool(first_seg is not None and first_seg[0] is not None)
     new_parts = sorted(seg_parts - merged_parts)
     if merged_parts and not new_parts:
         return  # nothing new since the last sync
@@ -543,6 +563,7 @@ def merge_index(
         "next_gen": next_gen,
         "n_terms": int(n_terms),
         "max_generations": max_generations,
+        "positions": has_positions,
     }
     if "method" in prev:  # keep the tune_index winner across syncs/compactions
         params["method"] = prev["method"]

@@ -239,6 +239,43 @@ class IndexReader:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def phrase_query(self, phrase: str, k: int = 20) -> DataFrame:
+        """Exact phrase search through the INDEX -> (doc_id, n_hits), ranked
+        (n_hits DESC, doc_id ASC), top k.
+
+        The scale path for phrase queries: dictionary lookup → bucket
+        partition pruning + pushed In(term_id,…) postings scan (ONLY the
+        phrase terms' lists are read, never the corpus) → per-shard position
+        intersection over the positional varint stream → bounded top-k.
+        Results are identical to the brute ``operators.phrase.phrase_matches``
+        scan (property-tested). Requires an index built with positions
+        (params.json ``positions``); raises otherwise rather than silently
+        falling back to a corpus scan.
+        """
+        from ..operators.phrase import make_phrase_matcher
+
+        self._refresh_if_stale()
+        if not self.params.get("positions"):
+            raise ValueError(
+                f"index at {self.index_dir} was built without positions "
+                "(build with with_positions=True for phrase queries)"
+            )
+        toks = list(tokenize_pd(pd.Series([phrase]))[0])
+        empty = self.spark.createDataFrame([], "doc_id long, n_hits int")
+        if not toks:
+            return empty
+        entries = {e["term"]: e for e in self.lookup_terms(sorted(set(toks)))}
+        if len(entries) < len(set(toks)):
+            return empty  # a phrase containing an unindexed term matches nothing
+        term_seq = [int(entries[t]["term_id"]) for t in toks]
+        buckets = sorted({int(e["bucket"]) for e in entries.values()})
+        cand = self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(sorted(set(term_seq)))
+        )
+        matcher = make_phrase_matcher(term_seq, k)
+        per_shard = cand.groupBy("shard").applyInPandas(matcher, "doc_id long, n_hits int")
+        return per_shard.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+
     def query_many(self, texts: list[str] | dict[int, str], k: int = 10) -> DataFrame:
         """Batched exact top-k: ONE Spark job for the whole query set.
 

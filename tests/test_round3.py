@@ -510,25 +510,26 @@ def test_phrase_matches_exact_and_normalized(spark):
             (3, "alpha gamma beta"),    # right words, wrong order: no match
             (4, "xalpha beta gamma"),   # token boundary: 'xalpha' != 'alpha'
             (5, None),
-            # IMMEDIATELY adjacent repeats share a delimiter space: counted
-            # once (the documented non-overlapping rule, same in the oracle)
+            # IMMEDIATELY adjacent repeats count separately since round 4
+            # (double-space padding: occurrences never share a delimiter)
             (6, "alpha beta alpha beta"),
             (7, "alpha beta x alpha beta y alpha beta"),  # separated: 3 hits
         ],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r["n_hits"] for r in phrase_matches(docs, "Alpha BETA").collect()}
-    assert got == {0: 1, 1: 1, 2: 1, 6: 1, 7: 3}
+    assert got == {0: 1, 1: 1, 2: 1, 6: 2, 7: 3}
     # rank order: n_hits DESC then doc_id ASC
     order = [r["doc_id"] for r in phrase_matches(docs, "alpha beta").collect()]
-    assert order == [7, 0, 1, 2, 6]
+    assert order == [7, 6, 0, 1, 2]
     assert phrase_matches(docs, "☃ ☃").count() == 0
     assert phrase_matches(docs, "beta gamma").filter(F.col("doc_id") == 3).count() == 0
 
 
 def test_phrase_count_matches_python_reference(spark):
-    """Catalyst replace-arithmetic == independent str.count on random token
-    streams (both are non-overlapping left-to-right)."""
+    """Catalyst replace-arithmetic == independent greedy counter on random
+    token streams (both are non-overlapping left-to-right; double-space
+    padding means adjacent occurrences all count)."""
     import numpy as np
 
     from abstracts_search_spark.functions.tokenize import _TOKEN_RE
@@ -547,7 +548,14 @@ def test_phrase_count_matches_python_reference(spark):
     }
     for i, text in rows:
         toks = [m.lower() for m in _TOKEN_RE.findall(text)]
-        want = (" " + " ".join(toks) + " ").count(" aa bb ")
+        # independent reference: greedy non-overlapping scan in token space
+        want, j = 0, 0
+        while j + 1 < len(toks):
+            if toks[j] == "aa" and toks[j + 1] == "bb":
+                want += 1
+                j += 2
+            else:
+                j += 1
         assert got[i] == want, (i, text)
 
 

@@ -186,3 +186,189 @@ def test_ann_driver_entry_uses_persisted_index(spark):
     df2 = entrymod.queries()["ann_lsh_topk"](spark, sf_dir)
     assert [(r["vec_id"], r["cos"]) for r in df2.collect()] == first
     assert len(first) == entrymod.ANN_K
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #2: positional postings + indexed phrase search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_path_factory):
+    """A positional doc index over a corpus with known phrase structure."""
+    import numpy as np
+
+    from abstracts_search_spark.plans.build import build_doc_index
+    from abstracts_search_spark.plans.query import IndexReader
+
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta", "echo", "fox", "golf", "hotel"]
+    rows = []
+    for i in range(300):
+        toks = rng.choice(vocab, size=int(rng.integers(1, 40))).tolist()
+        rows.append((i, " ".join(toks)))
+    rows.append((300, "alpha beta alpha beta"))        # adjacent repeats: 2
+    rows.append((301, "alpha beta x alpha beta"))      # separated: 2
+    rows.append((302, "beta alpha"))                   # wrong order: 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("phraseix") / "ix")
+    build_doc_index(docs, idx, buckets=8, shard_docs=64)  # positions default ON
+    return docs, IndexReader(spark, idx)
+
+
+def test_phrase_indexed_equals_brute(spark, phrase_index):
+    from abstracts_search_spark.operators.phrase import phrase_matches
+
+    docs, reader = phrase_index
+    for phrase in ("alpha beta", "beta GAMMA delta", "alpha", "alpha alpha",
+                   "echo fox golf", "alpha beta alpha"):
+        want = [(r["doc_id"], r["n_hits"]) for r in phrase_matches(docs, phrase, top=1000).collect()]
+        got = [(r["doc_id"], r["n_hits"]) for r in reader.phrase_query(phrase, k=1000).collect()]
+        assert got == want, phrase
+
+
+def test_phrase_indexed_edge_cases(spark, phrase_index):
+    docs, reader = phrase_index
+    # unindexed term in the phrase -> empty, no job needed
+    assert reader.phrase_query("alpha zzzznotaword", k=10).collect() == []
+    # empty-after-tokenization phrase -> empty
+    assert reader.phrase_query("—— ☃ !!!", k=10).collect() == []
+    # adjacent repeats count separately (the round-4 semantics)
+    got = {r["doc_id"]: r["n_hits"] for r in reader.phrase_query("alpha beta", k=1000).collect()}
+    assert got[300] == 2 and got[301] == 2 and 302 not in got
+
+
+def test_phrase_query_plan_prunes_buckets_and_pushes_terms(spark, phrase_index):
+    """Same plan-shape contract as BM25: the phrase path reads only the
+    phrase terms' posting files (bucket PartitionFilters + pushed term_id)."""
+    _, reader = phrase_index
+    df = reader.phrase_query("alpha beta", k=10)
+    plan = df._jdf.queryExecution().toString()
+    scan = next(
+        seg for seg in plan.split("FileScan parquet")[1:] if "pos_bin" in seg.split("\n")[0]
+    )
+    head = scan.split("ReadSchema", 1)[0]
+    assert "PartitionFilters" in head
+    assert "bucket" in head.split("PartitionFilters", 1)[1][:300]
+    assert "term_id" in head.split("PushedFilters", 1)[1][:300]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_query_requires_positions(spark, tmp_path):
+    from abstracts_search_spark.plans.build import build_doc_index
+    from abstracts_search_spark.plans.query import IndexReader
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    idx = str(tmp_path / "nopos")
+    build_doc_index(docs, idx, buckets=4, shard_docs=64, with_positions=False)
+    reader = IndexReader(spark, idx)
+    with pytest.raises(ValueError, match="without positions"):
+        reader.phrase_query("alpha beta")
+    # BM25 unaffected by the absent stream
+    assert reader.query("alpha", k=5).count() == 1
+
+
+def test_positions_survive_incremental_merge(spark, tmp_path):
+    """Generation-stacked positional postings: phrase matches span docs from
+    gen=0 and a later synced generation; merge keeps positions intact."""
+    from abstracts_search_spark.operators.phrase import phrase_matches
+    from abstracts_search_spark.plans.build import build_index, compact_index
+    from abstracts_search_spark.plans.query import IndexReader
+    from abstracts_search_spark.sources.transcripts import gen_transcripts
+
+    tx = str(tmp_path / "tx")
+    idx = str(tmp_path / "ix")
+    gen_transcripts(tx, scale="tiny", seed=3)
+    build_index(spark, tx, idx, max_parts=1, with_positions=True,
+                buckets=8, shard_docs=64)
+    build_index(spark, tx, idx, with_positions=True, buckets=8, shard_docs=64)
+    reader = IndexReader(spark, idx)
+    assert reader.params["positions"] is True
+
+    # brute reference over the same assembled documents
+    docs = (
+        spark.read.option("basePath", tx).parquet(tx)
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+            ).alias("text")
+        )
+    )
+    want_by_conv = {
+        r["doc_id"]: r["n_hits"]  # phrase_matches aliases id_col -> doc_id
+        for r in phrase_matches(docs, "user the", top=10_000, id_col="conv_id").collect()
+    }
+    docmap = {r["doc_id"]: r["conv_id"] for r in reader.docmap.collect()}
+    got = {
+        docmap[r["doc_id"]]: r["n_hits"]
+        for r in reader.phrase_query("user the", k=10_000).collect()
+    }
+    assert got == want_by_conv and len(got) > 0
+
+    # compaction (fold to gen=0) preserves the stream and the results
+    compact_index(spark, idx, buckets=8, shard_docs=64)
+    got2 = {
+        docmap[r["doc_id"]]: r["n_hits"]
+        for r in reader.phrase_query("user the", k=10_000).collect()
+    }
+    assert got2 == want_by_conv
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #5: pointer-jumping connected components — O(log diameter)
+# convergence on adversarial chains + deterministic checkpoint cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_long_path_converges_log_rounds(spark):
+    from abstracts_search_spark.operators.dedup import connected_components
+
+    n = 10_000  # plain min-label propagation would need ~n rounds
+    edges = spark.range(n - 1).selectExpr("id as doc_a", "id + 1 as doc_b")
+    # 20 rounds ≈ log2(10k) + fixpoint-detection slack; O(diameter) would fail
+    got = connected_components(edges, max_iter=20)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+
+
+def test_connected_components_releases_checkpoints(spark):
+    from abstracts_search_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.range(200 - 1).selectExpr("id as doc_a", "id + 1 as doc_b")
+    connected_components(edges, max_iter=15).collect()
+    after = jsc.getPersistentRDDs().size()
+    # every superseded round's localCheckpoint blocks were unpersisted at the
+    # RDD level; only the FINAL labels checkpoint (which the returned frame
+    # still depends on) may remain
+    assert after - before <= 1, (before, after)
+
+
+def test_connected_components_durable_checkpoint_cleanup(spark, tmp_path):
+    from abstracts_search_spark.operators.dedup import connected_components
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # superseded checkpoint dirs were deleted via the Hadoop FS API; at most
+    # the final labels checkpoint (+ the sym edge table released after the
+    # result was materialized) may remain on disk
+    remaining = [
+        os.path.join(r, f)
+        for r, _, files in os.walk(ckdir)
+        for f in files
+        if not f.startswith(".")
+    ]
+    rdd_dirs = {os.path.basename(os.path.dirname(p)) for p in remaining}
+    assert len(rdd_dirs) <= 1, sorted(rdd_dirs)
