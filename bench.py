@@ -58,22 +58,30 @@ def main() -> dict:
     t_all = time.time()
 
     # --- 1. index build throughput -----------------------------------------
-    # median-of-N with raw runs disclosed (same estimator policy as the query
-    # set and scripts/scaling_run.py): single-shot build numbers on this host
-    # swing up to ~30% run-to-run, which made cross-round deltas unreadable
+    # one WARMUP build (JVM codegen, Python worker pool, page cache — the
+    # one-time session costs a long-running 100 TB build pays once; timed and
+    # disclosed separately, same policy as the query-set reader_warmup), then
+    # median-of-N with raw runs disclosed: single-shot numbers on this host
+    # swing up to ~4× run-to-run, which made cross-round deltas unreadable
     n_build_runs = int(os.environ.get("SPARK_GRAFT_BUILD_RUNS", "3"))
     b_runs: list[float] = []
+    warmup_sec = 0.0
     n_turns = n_docs = 0
     index_dir = ""
-    for i in range(n_build_runs):
-        if i and index_dir:
+    for i in range(n_build_runs + 1):
+        if index_dir:
             shutil.rmtree(index_dir, ignore_errors=True)
         index_dir = tempfile.mkdtemp(prefix="bench_index_")
         t0 = time.time()
         metrics = build_index(spark, tx_dir, index_dir)
-        b_runs.append(round(time.time() - t0, 3))
+        wall = round(time.time() - t0, 3)
         n_turns, n_docs = int(metrics["n_turns"]), int(metrics["n_docs"])
-        print(f"build run {i + 1}/{n_build_runs}: {b_runs[-1]}s", file=sys.stderr)
+        if i == 0:
+            warmup_sec = wall
+            print(f"build warmup: {wall}s", file=sys.stderr)
+        else:
+            b_runs.append(wall)
+            print(f"build run {i}/{n_build_runs}: {wall}s", file=sys.stderr)
     build_wall = sorted(b_runs)[len(b_runs) // 2]
     timings["index_build"] = build_wall
     build = {
@@ -81,6 +89,7 @@ def main() -> dict:
         "n_docs": n_docs,
         "wall_sec": build_wall,
         "runs": b_runs,
+        "warmup_sec": warmup_sec,
         "turns_per_sec": round(n_turns / build_wall, 1),
     }
     print(f"build: {build}", file=sys.stderr)
