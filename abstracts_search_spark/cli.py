@@ -27,6 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--buckets", type=int, default=64)
     b.add_argument("--shard-docs", type=int, default=1 << 14)
     b.add_argument("--max-parts", type=int, default=None)
+    b.add_argument("--positions", action="store_true",
+                   help="carry the positional stream (enables `phrase`)")
 
     s = sub.add_parser("stream", help="incremental build via Structured Streaming")
     s.add_argument("--transcripts", required=True)
@@ -48,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--method", choices=["bmw", "taat", "auto"], default=None)
 
+    ph = sub.add_parser("phrase", help="exact phrase top-k over a positional index")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--text", required=True)
+    ph.add_argument("-k", type=int, default=20)
+
     args = p.parse_args(argv)
 
     from abstracts_search_spark.session import build_spark
@@ -60,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
             m = build_index(
                 spark, args.transcripts, args.index,
                 buckets=args.buckets, shard_docs=args.shard_docs, max_parts=args.max_parts,
+                with_positions=args.positions,
             )
             print(json.dumps(m))
         elif args.cmd == "stream":
@@ -85,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
             rows = reader.query(args.text, k=args.k, method=args.method).collect()
             for r in rows:
                 print(json.dumps({"doc_id": r["doc_id"], "conv_id": r["conv_id"], "score": r["score"]}))
+        elif args.cmd == "phrase":
+            from abstracts_search_spark.plans.query import IndexReader
+
+            reader = IndexReader(spark, args.index)
+            for r in reader.phrase_query(args.text, k=args.k).collect():
+                print(json.dumps({"doc_id": r["doc_id"], "n_hits": r["n_hits"]}))
     finally:
         spark.stop()
     return 0

@@ -448,6 +448,41 @@ def _iceberg_available() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# CLI surface: build --positions -> query + phrase through a fresh JVM
+# (the spark-submit --py-files path, north_rule)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_build_query_phrase(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    from abstracts_search_spark.sources.transcripts import gen_transcripts
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tx = str(tmp_path / "tx")
+    ix = str(tmp_path / "ix")
+    gen_transcripts(tx, scale="tiny", seed=5)
+
+    def cli(*argv):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "abstracts_search_spark", "cli.py"), *argv],
+            capture_output=True, text=True, cwd=str(tmp_path),  # foreign cwd
+            env=dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4"),
+            check=True, timeout=300,
+        ).stdout.strip().splitlines()
+
+    out = cli("build", "--transcripts", tx, "--index", ix,
+              "--buckets", "8", "--shard-docs", "64", "--positions")
+    assert json.loads(out[-1])["n_docs"] > 0
+    got = [json.loads(line) for line in cli("query", "--index", ix, "--text", "user assistant", "-k", "3")]
+    assert len(got) == 3 and got[0]["score"] >= got[-1]["score"]
+    ph = [json.loads(line) for line in cli("phrase", "--index", ix, "--text", "user the", "-k", "5")]
+    assert all(p["n_hits"] >= 1 for p in ph)
+
+
 @pytest.mark.iceberg
 @pytest.mark.skipif(not _iceberg_available(), reason="iceberg runtime jars not in this environment")
 def test_iceberg_backend_round_trip(spark, tmp_path, monkeypatch):
