@@ -9,7 +9,9 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash64,
 )
-from .similarity import ann_lsh_topk, cosine_pairs_lsh, cosine_topk
+from .dedup import connected_components, dedup_clusters
+from .phrase import phrase_matches
+from .similarity import ann_index_topk, ann_lsh_topk, build_ann_index, cosine_pairs_lsh, cosine_topk
 from .stats import corpus_stats, term_df
 from .textstats import fingerprint, lang_id, quality_score, token_counts
 
@@ -26,9 +28,14 @@ __all__ = [
     "simhash64",
     "embedding_dup_pairs",
     "embedding_dup_lsh",
+    "connected_components",
+    "dedup_clusters",
+    "phrase_matches",
     "cosine_topk",
     "cosine_pairs_lsh",
     "ann_lsh_topk",
+    "ann_index_topk",
+    "build_ann_index",
     "lang_id",
     "quality_score",
     "token_counts",

@@ -271,11 +271,19 @@ def pack_doc_tokens(
 
     findall = _TOKEN_RE.findall
 
+    # per-task term→(id, bucket) cache bound: hashing re-runs for evicted
+    # terms (correctness unaffected); keeps worker memory O(1) when a task
+    # streams a pathological vocabulary (random strings), instead of growing
+    # with every unique token the task ever sees
+    _CACHE_MAX = 4_000_000
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         id_cache: dict[str, tuple[int, int]] = {}
         cache_get = id_cache.get
 
         for pdf in batches:
+            if len(id_cache) > _CACHE_MAX:
+                id_cache.clear()
             toks_per_doc = [findall(t) if t else [] for t in pdf[text_col]]
             lens = np.fromiter(
                 (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
@@ -428,7 +436,16 @@ def merge_segments(segments: DataFrame) -> DataFrame:
 
         bucket, shard = int(key[0]), int(key[1])
         dfs = pdf["df"].to_numpy(np.int64)
-        with_pos = len(pdf) > 0 and pdf["pos_bin"].iloc[0] is not None
+        n_pos = int(pdf["pos_bin"].notna().sum())
+        if n_pos not in (0, len(pdf)):
+            # positional and bare segments in one index cannot merge into a
+            # consistent row (build_index enforces the contract at ingest;
+            # this guards hand-assembled segment tables)
+            raise ValueError(
+                f"merge group (bucket={bucket}, shard={shard}) mixes positional "
+                f"and non-positional segment rows ({n_pos}/{len(pdf)} positional)"
+            )
+        with_pos = n_pos == len(pdf)
         if with_pos:
             docs, tfs, dls, _, pos_flat = decode_posting_lists(
                 [bytes(b) for b in pdf["doc_bin"]],

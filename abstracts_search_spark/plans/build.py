@@ -114,9 +114,22 @@ def build_index(
 
     ``with_positions`` adds the positional varint stream to every posting
     (phrase queries); off by default — the throughput build path carries no
-    position bytes through its exchanges."""
+    position bytes through its exchanges. The flag is an INDEX-WIDE contract
+    fixed at first ingest: extending an existing index with the opposite
+    setting would leave a mix of positional and bare segments that no merge
+    group can encode consistently — refused loudly here instead."""
     t0 = time.time()
     guard_lineage_layout(index_dir)
+    params_path = os.path.join(index_dir, "params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prev_positions = json.load(f).get("positions", False)
+        if bool(prev_positions) != bool(with_positions):
+            raise ValueError(
+                f"index at {index_dir} was built with positions={prev_positions}; "
+                f"pass with_positions={prev_positions} (or re-ingest into a fresh "
+                "index_dir to change the contract)"
+            )
     pending = pending_partitions(spark, transcripts_dir, index_dir)
     if max_parts is not None:
         pending = pending[:max_parts]

@@ -43,12 +43,17 @@ def stream_build(
     buckets: int = DEFAULT_BUCKETS,
     shard_docs: int = DEFAULT_SHARD_DOCS,
     merge_after: bool = True,
+    with_positions: bool = False,
 ) -> dict:
     """Drain all available transcript files into segments, then merge.
 
     Returns {"batches": n} — rerunning after new files land processes only
     the new files (checkpointed file WAL = resume-from-checkpoint).
+    ``with_positions`` follows the same index-wide contract as build_index:
+    fixed at first ingest, mismatches refused.
     """
+    import json as _json
+
     from pyspark.sql import functions as F
 
     from ..functions.tokenize import doclen_expr
@@ -57,6 +62,15 @@ def stream_build(
     from ..plans.build import guard_lineage_layout
 
     guard_lineage_layout(index_dir)
+    params_path = os.path.join(index_dir, "params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prev_positions = _json.load(f).get("positions", False)
+        if bool(prev_positions) != bool(with_positions):
+            raise ValueError(
+                f"index at {index_dir} was built with positions={prev_positions}; "
+                f"pass with_positions={prev_positions}"
+            )
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     schema = (
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -104,6 +118,7 @@ def stream_build(
             fat.select("doc_id", "src_part", "doclen", "document"),
             buckets=buckets,
             shard_docs=shard_docs,
+            with_positions=with_positions,
         )
         commit(build_segments_packed(packed), index_dir, "segments", mode="append",
                partition_by=["src_part"], repartition_by=["src_part"],

@@ -326,6 +326,22 @@ def test_positions_survive_incremental_merge(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_positions_contract_enforced_at_ingest(spark, tmp_path):
+    """An index is positional or not, fixed at FIRST ingest: extending with
+    the opposite flag is refused (mixed segments could not merge)."""
+    from abstracts_search_spark.plans.build import build_index
+    from abstracts_search_spark.sources.transcripts import gen_transcripts
+
+    tx = str(tmp_path / "tx")
+    idx = str(tmp_path / "ix")
+    gen_transcripts(tx, scale="tiny", seed=13)
+    build_index(spark, tx, idx, max_parts=1, with_positions=True, buckets=4, shard_docs=64)
+    with pytest.raises(ValueError, match="positions=True"):
+        build_index(spark, tx, idx, with_positions=False, buckets=4, shard_docs=64)
+    # matching flag proceeds fine
+    build_index(spark, tx, idx, with_positions=True, buckets=4, shard_docs=64)
+
+
 def test_connected_components_long_path_converges_log_rounds(spark):
     from abstracts_search_spark.operators.dedup import connected_components
 
