@@ -96,24 +96,23 @@ def count_nonoverlapping(starts: np.ndarray, length: int) -> int:
     return n
 
 
-def make_phrase_matcher(term_seq: list[int], k: int):
-    """Per-shard phrase matcher over POSITIONAL posting rows.
+def make_phrase_matcher_multi(term_seqs: dict[int, list[int]]):
+    """Per-shard matcher for a BATCH of phrases over positional posting rows.
 
-    ``term_seq``: the phrase tokens' term_ids IN ORDER (duplicates allowed).
-    Returns an applyInPandas fn: one shard's posting rows (already filtered to
-    the phrase's term_ids) -> (doc_id, n_hits) for that shard's matching docs.
-    Shards tile the docID space disjointly, so per-shard results union cleanly
-    into a global TakeOrderedAndProject.
+    ``term_seqs``: {query_id: phrase tokens' term_ids IN ORDER (duplicates
+    allowed)}. Returns an applyInPandas fn: one shard's posting rows (already
+    filtered to the union of all phrases' term_ids) ->
+    (query_id, doc_id, n_hits). Every posting row is decoded ONCE per shard
+    and shared across phrases (the same decode-hoisting as the batched BM25
+    scorer). Shards tile the docID space disjointly, so per-shard results
+    union cleanly into a global rank.
 
-    Algorithm: decode each term's (docs, tfs, positions) once (generations of
-    one term cover disjoint doc ranges — concatenate); candidate docs =
-    intersection over the phrase's DISTINCT terms; per candidate doc, start
-    positions = positions(t_0) ∩ (positions(t_1) − 1) ∩ … ∩
-    (positions(t_{L−1}) − (L−1)), then the greedy non-overlapping count —
-    identical to the brute replace-arithmetic (property-tested).
+    Per phrase: candidate docs = intersection over its DISTINCT terms; per
+    candidate doc, start positions = positions(t_0) ∩ (positions(t_1) − 1)
+    ∩ … ∩ (positions(t_{L−1}) − (L−1)), then the greedy non-overlapping
+    count — identical to the brute replace-arithmetic (property-tested).
     """
-    L = len(term_seq)
-    distinct = sorted(set(term_seq))
+    all_terms = sorted({t for seq in term_seqs.values() for t in seq})
 
     def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..codecs.multilist import decode_posting_lists
@@ -130,37 +129,54 @@ def make_phrase_matcher(term_seq: list[int], k: int):
         occ_bounds = np.zeros(tfs.shape[0] + 1, dtype=np.int64)
         np.cumsum(tfs, out=occ_bounds[1:])
 
-        # per distinct term: entry indices sorted by doc (gens are disjoint
-        # doc ranges but may arrive unordered across rows)
+        # decoded ONCE: per term, entry indices sorted by doc (gens are
+        # disjoint doc ranges but may arrive unordered across rows)
         per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for t in distinct:
+        for t in all_terms:
             idx = np.flatnonzero(entry_tid == t)
-            if idx.shape[0] == 0:
-                return pd.DataFrame({"doc_id": [], "n_hits": []})
-            o = np.argsort(docs[idx], kind="stable")
-            per_term[t] = (docs[idx][o], idx[o])
+            if idx.shape[0]:
+                o = np.argsort(docs[idx], kind="stable")
+                per_term[t] = (docs[idx][o], idx[o])
 
-        cand = per_term[distinct[0]][0]
-        for t in distinct[1:]:
-            cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
-            if cand.shape[0] == 0:
-                return pd.DataFrame({"doc_id": [], "n_hits": []})
-
-        out_d, out_n = [], []
-        for doc in cand:
-            starts = None
-            for i, t in enumerate(term_seq):
-                tdocs, tidx = per_term[t]
-                e = int(tidx[np.searchsorted(tdocs, doc)])
-                p = pos[occ_bounds[e] : occ_bounds[e + 1]] - i
-                starts = p if starts is None else np.intersect1d(starts, p, assume_unique=True)
-                if starts.shape[0] == 0:
+        out_q, out_d, out_n = [], [], []
+        for qid, term_seq in term_seqs.items():
+            L = len(term_seq)
+            distinct = sorted(set(term_seq))
+            if any(t not in per_term for t in distinct):
+                continue  # a term absent from this shard -> no doc matches here
+            cand = per_term[distinct[0]][0]
+            for t in distinct[1:]:
+                cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
+                if cand.shape[0] == 0:
                     break
-            if starts is not None and starts.shape[0]:
-                n = count_nonoverlapping(starts, L)
-                if n > 0:
-                    out_d.append(int(doc))
-                    out_n.append(n)
-        return pd.DataFrame({"doc_id": out_d, "n_hits": out_n})
+            for doc in cand:
+                starts = None
+                for i, t in enumerate(term_seq):
+                    tdocs, tidx = per_term[t]
+                    e = int(tidx[np.searchsorted(tdocs, doc)])
+                    p = pos[occ_bounds[e] : occ_bounds[e + 1]] - i
+                    starts = p if starts is None else np.intersect1d(
+                        starts, p, assume_unique=True
+                    )
+                    if starts.shape[0] == 0:
+                        break
+                if starts is not None and starts.shape[0]:
+                    n = count_nonoverlapping(starts, L)
+                    if n > 0:
+                        out_q.append(qid)
+                        out_d.append(int(doc))
+                        out_n.append(n)
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "n_hits": out_n})
+
+    return match_shard
+
+
+def make_phrase_matcher(term_seq: list[int], k: int):
+    """Single-phrase wrapper over :func:`make_phrase_matcher_multi` ->
+    applyInPandas fn emitting (doc_id, n_hits)."""
+    multi = make_phrase_matcher_multi({0: term_seq})
+
+    def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        return multi(pdf)[["doc_id", "n_hits"]]
 
     return match_shard

@@ -238,6 +238,29 @@ def test_phrase_indexed_edge_cases(spark, phrase_index):
     assert got[300] == 2 and got[301] == 2 and 302 not in got
 
 
+def test_phrase_query_many_matches_per_phrase(spark, phrase_index):
+    """Batched phrase search (one job, decode shared across phrases) returns
+    exactly the per-phrase phrase_query results, per query_id."""
+    docs, reader = phrase_index
+    phrases = {
+        7: "alpha beta",
+        8: "beta gamma delta",
+        9: "alpha",
+        10: "zzz notindexed",
+        11: "—— ☃",
+    }
+    got = {}
+    for r in reader.phrase_query_many(phrases, k=1000).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["n_hits"]))
+    for qid, phrase in phrases.items():
+        want = [
+            (i + 1, r["doc_id"], r["n_hits"])
+            for i, r in enumerate(reader.phrase_query(phrase, k=1000).collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, phrase
+    assert 10 not in got and 11 not in got
+
+
 def test_phrase_query_plan_prunes_buckets_and_pushes_terms(spark, phrase_index):
     """Same plan-shape contract as BM25: the phrase path reads only the
     phrase terms' posting files (bucket PartitionFilters + pushed term_id)."""
