@@ -60,3 +60,52 @@ def test_roundtrip_property(doc_set):
     row = encode_posting_list(docs, tfs, dls)
     d2, t2, l2 = decode_posting_list(row)
     assert np.array_equal(d2, docs) and np.array_equal(t2, tfs) and np.array_equal(l2, dls)
+
+
+# ------------------------------------------------- positions stream (r4) ---
+
+
+def _mk_pos(rng, tfs, doclen=4000):
+    return np.concatenate(
+        [np.sort(rng.choice(doclen, size=int(t), replace=False)) for t in tfs]
+    )
+
+
+@given(st.integers(1, 600), st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_positions_roundtrip_property(n, seed):
+    """Random lists: full decode AND per-block decode reproduce the exact
+    positions stream; single-list and multi-list codecs agree byte-for-byte."""
+    from abstracts_search_spark.codecs.multilist import (
+        decode_posting_lists,
+        encode_posting_lists,
+    )
+    from abstracts_search_spark.codecs.postings import (
+        decode_block_positions,
+        decode_positions,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs, tfs, dls = _mk(n, seed=seed)
+    pos = _mk_pos(rng, tfs)
+    row = encode_posting_list(docs, tfs, dls, positions=pos)
+    d2, t2, _ = decode_posting_list(row)
+    assert np.array_equal(decode_positions(row, t2), pos)
+    off = 0
+    for b in range(row["n_blocks"]):
+        _, bt, _ = decode_block(row, b)
+        got = decode_block_positions(row, b, bt)
+        want = pos[off : off + int(bt.sum())]
+        assert np.array_equal(got, want)
+        off += int(bt.sum())
+
+    enc = encode_posting_lists(
+        docs, tfs, dls, np.array([0, docs.shape[0]]), positions=pos
+    )
+    assert bytes(enc["pos_bin"][0]) == row["pos_bin"]
+    assert np.array_equal(enc["pos_offs"][0], row["pos_offs"])
+    _, mt, _, _, mp = decode_posting_lists(
+        [bytes(enc["doc_bin"][0])], [bytes(enc["tf_bin"][0])],
+        [bytes(enc["dl_bin"][0])], enc["df"], pos_bins=[bytes(enc["pos_bin"][0])],
+    )
+    assert np.array_equal(mp, pos)
