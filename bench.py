@@ -162,6 +162,8 @@ def main() -> dict:
     for name in (
         "bm25_topk",
         "bm25_topk_indexed",
+        "phrase_match",
+        "phrase_match_indexed",
         "tokenize_tf",
         "minhash_lsh_pairs",
         "jaccard_pairs",
