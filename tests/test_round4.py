@@ -365,6 +365,51 @@ def test_positions_contract_enforced_at_ingest(spark, tmp_path):
     build_index(spark, tx, idx, with_positions=True, buckets=4, shard_docs=64)
 
 
+def test_streaming_build_with_positions_serves_phrase(spark, tmp_path):
+    """Structured-Streaming ingest with positions on: the drained index
+    serves phrase queries, and results equal the brute scan over the same
+    assembled documents."""
+    from abstracts_search_spark.operators.phrase import phrase_matches
+    from abstracts_search_spark.plans.query import IndexReader
+    from abstracts_search_spark.sources.transcripts import gen_transcripts
+    from abstracts_search_spark.streaming.incremental import stream_build
+
+    tx = str(tmp_path / "tx")
+    idx = str(tmp_path / "ix")
+    gen_transcripts(tx, scale="tiny", seed=17)
+    stream_build(spark, tx, idx, buckets=8, shard_docs=64, with_positions=True)
+    reader = IndexReader(spark, idx)
+    assert reader.params["positions"] is True
+
+    docs = (
+        spark.read.option("basePath", tx).parquet(tx)
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+            ).alias("text")
+        )
+    )
+    want = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_matches(docs, "user the", top=10_000, id_col="conv_id").collect()
+    }
+    docmap = {r["doc_id"]: r["conv_id"] for r in reader.docmap.collect()}
+    got = {
+        docmap[r["doc_id"]]: r["n_hits"]
+        for r in reader.phrase_query("user the", k=10_000).collect()
+    }
+    assert got == want and len(got) > 0
+    # mismatched contract on a later drain refused
+    with pytest.raises(ValueError, match="positions=True"):
+        stream_build(spark, tx, idx, buckets=8, shard_docs=64, with_positions=False)
+
+
 def test_connected_components_long_path_converges_log_rounds(spark):
     from abstracts_search_spark.operators.dedup import connected_components
 
