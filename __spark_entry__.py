@@ -253,6 +253,14 @@ def _q_phrase_match_indexed(spark, sf_dir):
     return _doc_index_reader(spark, sf_dir).phrase_query("Merge SPARK", k=20)
 
 
+def _q_phrase_match_many(spark, sf_dir):
+    # batched phrase search: ONE job for the phrase set, posting rows decoded
+    # once per shard and shared across phrases (plans/query.phrase_query_many)
+    return _doc_index_reader(spark, sf_dir).phrase_query_many(
+        {1: "Merge SPARK", 2: "the data"}, k=20
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash64(_load(spark, sf_dir, "documents"))
 
@@ -371,6 +379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "documents_deduped": _q_documents_deduped,
         "phrase_match": _q_phrase_match,
         "phrase_match_indexed": _q_phrase_match_indexed,
+        "phrase_match_many": _q_phrase_match_many,
         "simhash64": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -435,6 +444,34 @@ c AS (
 )
 SELECT doc_id, n_hits FROM c WHERE n_hits > 0
 ORDER BY n_hits DESC, doc_id LIMIT 20
+"""
+
+
+def _phrase_count_sql(phrase_norm: str) -> str:
+    pat = " " + "  ".join(phrase_norm.split()) + " "
+    return f"CAST((len(norm) - len(replace(norm, '{pat}', ''))) / len('{pat}') AS INTEGER)"
+
+
+# batched-phrase oracle: per-phrase counts over the same padded stream,
+# union, rank per query_id — mirrors phrase_query_many's Window rank
+_PHRASE_MANY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         ' ' || array_to_string({_TOK.format(col='text')}, '  ') || ' ' AS norm
+  FROM documents
+),
+u AS (
+  SELECT 1 AS query_id, doc_id, {_phrase_count_sql('merge spark')} AS n_hits FROM s
+  UNION ALL
+  SELECT 2 AS query_id, doc_id, {_phrase_count_sql('the data')} AS n_hits FROM s
+),
+r AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY n_hits DESC, doc_id) AS INTEGER) AS rank,
+         doc_id, n_hits
+  FROM u WHERE n_hits > 0
+)
+SELECT query_id, rank, doc_id, n_hits FROM r WHERE rank <= 20
 """
 
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
@@ -663,6 +700,7 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM drop_set)
 """,
         "phrase_match": _PHRASE_SQL,
         "phrase_match_indexed": _PHRASE_SQL,
+        "phrase_match_many": _PHRASE_MANY_SQL,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
