@@ -269,18 +269,22 @@ class _Checkpointer:
         return df.checkpoint(eager=True) if self.durable else df.localCheckpoint(eager=True)
 
     def release(self, df: DataFrame) -> None:
+        # best-effort by design (ADVICE r4): failing to free a DEAD round's
+        # checkpoint is a storage nicety, never a correctness problem — the
+        # algorithm's result is already materialized when release runs, so no
+        # cleanup error (JVM reflection, Hadoop FS delete) may abort it
         try:
             rdd = df._jdf.queryExecution().analyzed().rdd()
+            if self.durable:
+                opt = rdd.getCheckpointFile()
+                if opt.isDefined():
+                    jvm = self.spark._jvm
+                    p = jvm.org.apache.hadoop.fs.Path(opt.get())
+                    fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+                    fs.delete(p, True)
+            rdd.unpersist(False)
         except Exception:
-            return  # not a plain checkpointed frame — nothing we own to free
-        if self.durable:
-            opt = rdd.getCheckpointFile()
-            if opt.isDefined():
-                jvm = self.spark._jvm
-                p = jvm.org.apache.hadoop.fs.Path(opt.get())
-                fs = p.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
-                fs.delete(p, True)
-        rdd.unpersist(False)
+            return
 
 
 def connected_components(

@@ -171,9 +171,11 @@ def make_phrase_matcher_multi(term_seqs: dict[int, list[int]]):
     return match_shard
 
 
-def make_phrase_matcher(term_seq: list[int], k: int):
+def make_phrase_matcher(term_seq: list[int]):
     """Single-phrase wrapper over :func:`make_phrase_matcher_multi` ->
-    applyInPandas fn emitting (doc_id, n_hits)."""
+    applyInPandas fn emitting (doc_id, n_hits). Top-k is the CALLER's
+    orderBy/limit (global TakeOrderedAndProject) — no per-shard truncation
+    happens here."""
     multi = make_phrase_matcher_multi({0: term_seq})
 
     def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -436,7 +436,8 @@ def merge_segments(segments: DataFrame) -> DataFrame:
 
         bucket, shard = int(key[0]), int(key[1])
         dfs = pdf["df"].to_numpy(np.int64)
-        n_pos = int(pdf["pos_bin"].notna().sum())
+        # pre-format-5 segment files have no pos_bin column: non-positional
+        n_pos = int(pdf["pos_bin"].notna().sum()) if "pos_bin" in pdf.columns else 0
         if n_pos not in (0, len(pdf)):
             # positional and bare segments in one index cannot merge into a
             # consistent row (build_index enforces the contract at ingest;

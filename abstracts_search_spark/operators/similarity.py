@@ -172,6 +172,8 @@ def cosine_pairs_lsh(
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
             m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             bits = (m @ all_planes.T >= 0).reshape(len(pdf), bands, n_planes)
             buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, bands)

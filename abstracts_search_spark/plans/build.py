@@ -186,6 +186,18 @@ def build_index(
             with_positions=with_positions,
         )
         segments = build_segments_packed(packed)
+        # schema gate (ADVICE r4): format-5 segments always carry a (nullable)
+        # pos_bin column; appending them next to pre-format-5 files that lack
+        # the column would leave a mixed file schema Spark samples
+        # nondeterministically — refuse with a re-ingest message instead
+        if table_exists(index_dir, "segments") and "pos_bin" not in read_table(
+            spark, index_dir, "segments"
+        ).columns:
+            raise ValueError(
+                f"segments at {index_dir} predate the positional format "
+                "(no pos_bin column); re-ingest into a fresh index_dir before "
+                "appending new partitions"
+            )
         # co-partition writes with the directory layout: one file per src_part
         # dir instead of n_tasks × n_parts small files — file-commit and later
         # scan-planning are driver-serial, so file count is a direct serial
@@ -441,9 +453,14 @@ def merge_index(
     }
     # positions capability is derived from segment CONTENT (one-row probe),
     # not carried state — the destroy-derived-artifacts recovery path must
-    # reproduce the flag too (all segments of an index are homogeneous)
-    first_seg = segments.select("pos_bin").first()
-    has_positions = bool(first_seg is not None and first_seg[0] is not None)
+    # reproduce the flag too (all segments of an index are homogeneous).
+    # Pre-format-5 segment files have no pos_bin COLUMN at all: treat that
+    # as positions=False instead of letting the select raise (ADVICE r4)
+    if "pos_bin" in segments.columns:
+        first_seg = segments.select("pos_bin").first()
+        has_positions = bool(first_seg is not None and first_seg[0] is not None)
+    else:
+        has_positions = False
     new_parts = sorted(seg_parts - merged_parts)
     if merged_parts and not new_parts:
         return  # nothing new since the last sync

@@ -272,7 +272,7 @@ class IndexReader:
         cand = self.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term_id").isin(sorted(set(term_seq)))
         )
-        matcher = make_phrase_matcher(term_seq, k)
+        matcher = make_phrase_matcher(term_seq)
         per_shard = cand.groupBy("shard").applyInPandas(matcher, "doc_id long, n_hits int")
         return per_shard.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
 
