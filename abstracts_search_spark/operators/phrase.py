@@ -138,6 +138,15 @@ def make_phrase_matcher_multi(term_seqs: dict[int, list[int]]):
                 o = np.argsort(docs[idx], kind="stable")
                 per_term[t] = (docs[idx][o], idx[o])
 
+        from ..codecs.multilist import concat_aranges
+
+        # ONE flat vectorized pass per phrase TERM over the shard's candidate
+        # docs (r4-verdict item 2): positions for all candidates are gathered
+        # with a single fancy-index, and phrase starts are the running
+        # intersection of (doc_rank, pos − i) composite keys — no per-doc
+        # Python loop. Keys use doc RANK (index into the sorted candidate
+        # set), not the raw doc id, so rank·SHIFT never overflows int64 at
+        # any doc-id scale.
         out_q, out_d, out_n = [], [], []
         for qid, term_seq in term_seqs.items():
             L = len(term_seq)
@@ -149,23 +158,50 @@ def make_phrase_matcher_multi(term_seqs: dict[int, list[int]]):
                 cand = np.intersect1d(cand, per_term[t][0], assume_unique=True)
                 if cand.shape[0] == 0:
                     break
-            for doc in cand:
-                starts = None
-                for i, t in enumerate(term_seq):
-                    tdocs, tidx = per_term[t]
-                    e = int(tidx[np.searchsorted(tdocs, doc)])
-                    p = pos[occ_bounds[e] : occ_bounds[e + 1]] - i
-                    starts = p if starts is None else np.intersect1d(
-                        starts, p, assume_unique=True
-                    )
-                    if starts.shape[0] == 0:
-                        break
-                if starts is not None and starts.shape[0]:
-                    n = count_nonoverlapping(starts, L)
-                    if n > 0:
-                        out_q.append(qid)
-                        out_d.append(int(doc))
-                        out_n.append(n)
+            if cand.shape[0] == 0:
+                continue
+            if L == 1:
+                # single-token phrase: the greedy non-overlapping count of one
+                # token is exactly its tf
+                tdocs, tidx = per_term[term_seq[0]]
+                e = tidx[np.searchsorted(tdocs, cand)]
+                out_q.extend([qid] * cand.shape[0])
+                out_d.extend(int(d) for d in cand)
+                out_n.extend(int(x) for x in tfs[e])
+                continue
+            shift = np.int64(int(pos.max()) + 2) if pos.shape[0] else np.int64(2)
+            starts_keys = None
+            for i, t in enumerate(term_seq):
+                tdocs, tidx = per_term[t]
+                e = tidx[np.searchsorted(tdocs, cand)]  # cand ⊆ tdocs (exact hits)
+                p_start, p_len = occ_bounds[e], occ_bounds[e + 1] - occ_bounds[e]
+                flat_idx = concat_aranges(p_len) + np.repeat(p_start, p_len)
+                flat_pos = pos[flat_idx]
+                ranks = np.repeat(np.arange(cand.shape[0], dtype=np.int64), p_len)
+                if i:
+                    keep = flat_pos >= i  # a start before token i is impossible
+                    flat_pos, ranks = flat_pos[keep], ranks[keep]
+                # ascending (ranks asc, positions asc within a doc) and unique
+                keys = ranks * shift + (flat_pos - i)
+                starts_keys = keys if i == 0 else np.intersect1d(
+                    starts_keys, keys, assume_unique=True
+                )
+                if starts_keys.shape[0] == 0:
+                    break
+            if starts_keys is None or starts_keys.shape[0] == 0:
+                continue
+            ranks = starts_keys // shift
+            positions = starts_keys % shift
+            # intersect1d output is sorted → ranks grouped, positions ascending
+            bnd = np.concatenate(
+                [[0], np.flatnonzero(np.diff(ranks)) + 1, [ranks.shape[0]]]
+            )
+            for a, b in zip(bnd[:-1], bnd[1:]):
+                n = count_nonoverlapping(positions[a:b], L)
+                if n > 0:
+                    out_q.append(qid)
+                    out_d.append(int(cand[ranks[a]]))
+                    out_n.append(n)
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "n_hits": out_n})
 
     return match_shard
