@@ -295,16 +295,23 @@ def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(idx, ignore_errors=True)
     if not os.path.exists(params_path) or stale:
         os.makedirs(idx, exist_ok=True)
-        build_ann_index(_load(spark, sf_dir, "embeddings"), idx)
+        # n_planes pinned to the oracle's 8-plane literals (_ann_lsh_sql);
+        # auto_n_planes would pick the same order of magnitude at fixture
+        # scale, and production callers omit the pin (sized geometry: 16
+        # planes = the reference's 65,536 lists at 10^8+ vectors)
+        build_ann_index(_load(spark, sf_dir, "embeddings"), idx, n_planes=8)
     return idx
 
 
 def _q_ann_lsh(spark, sf_dir):
     # the SCALE path: probe the persisted bucket-partitioned ANN index
-    # (partition pruning reads only the probed buckets' files) — same results
-    # as the unindexed ann_lsh_topk scan, same DuckDB oracle
+    # (partition pruning reads only the probed buckets' files; candidates
+    # scored with one float64 GEMM per Arrow batch — no interpreted HOF
+    # fold) — same results as the unindexed ann_lsh_topk scan, same oracle
     idx = _ann_index_dir(spark, sf_dir)
-    return similarity.ann_index_topk(spark, idx, _query_vec(spark, sf_dir), k=ANN_K)
+    return similarity.ann_index_topk(
+        spark, idx, _query_vec(spark, sf_dir), k=ANN_K, probe_hamming=1
+    )
 
 
 def _q_embedding_dups(spark, sf_dir):

@@ -149,7 +149,7 @@ def test_ann_driver_query_prunes_partitions(spark, tmp_path, monkeypatch):
     vecs = [(int(i), [float(x) for x in rng.standard_normal(32)]) for i in range(400)]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     out = str(tmp_path / "ann")
-    build_ann_index(emb, out)
+    build_ann_index(emb, out, n_planes=8)  # match ann_lsh_topk's default geometry
     q = vecs[7][1]
 
     df = ann_index_topk(spark, out, q, k=10)
