@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--max-parts", type=int, default=None)
     b.add_argument("--positions", action="store_true",
                    help="carry the positional stream (enables `phrase`)")
+    b.add_argument("--tokenizer", choices=["ascii", "unicode"], default="ascii",
+                   help="token contract of the index (fixed at first ingest)")
 
     s = sub.add_parser("stream", help="incremental build via Structured Streaming")
     s.add_argument("--transcripts", required=True)
@@ -67,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             m = build_index(
                 spark, args.transcripts, args.index,
                 buckets=args.buckets, shard_docs=args.shard_docs, max_parts=args.max_parts,
-                with_positions=args.positions,
+                with_positions=args.positions, tokenizer=args.tokenizer,
             )
             print(json.dumps(m))
         elif args.cmd == "stream":

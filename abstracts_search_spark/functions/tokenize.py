@@ -37,9 +37,70 @@ TOKENIZE_SQL_DUCKDB = (
 )
 
 
-def tokenize_pd(texts: pd.Series) -> pd.Series:
+class TokenizerSpec:
+    """One named tokenizer, expressed identically in all three engines.
+
+    ``py_pattern`` (Python re), ``jvm_pattern`` (Java regex — Spark
+    split/regexp_count), and ``sql_split`` (RE2 — the DuckDB oracle's
+    regexp_split_to_array class) must select the SAME character set; the
+    per-variant tests assert three-way token equality on a mixed-script
+    fixture. Extraction is boundary-splitting on the negated class +
+    lowercase, the same shape for every variant.
+    """
+
+    def __init__(self, name: str, py_pattern: str, jvm_pattern: str, sql_split: str):
+        self.name = name
+        self.py_pattern = py_pattern
+        self.jvm_pattern = jvm_pattern
+        self.sql_split = sql_split
+        self.regex = re.compile(py_pattern)
+
+    @property
+    def jvm_split(self) -> str:
+        """Negated class for F.split (token-boundary runs)."""
+        return "[^" + self.jvm_pattern[1:]
+
+    @property
+    def duckdb_sql(self) -> str:
+        """{col} -> list<varchar> of lowercase tokens (oracle template)."""
+        return (
+            f"list_transform(list_filter(regexp_split_to_array({{col}}, "
+            f"'{self.sql_split}'), t -> t <> ''), t -> lower(t))"
+        )
+
+
+# The per-index tokenizer config point (params.json "tokenizer", README
+# "Tokenizer contract"). "ascii" is the engine default — bit-identical to
+# every pre-round-5 index. "unicode" selects letter/number runs in any
+# script ([\p{L}\p{N}] ≡ Python [^\W_]: categories L* ∪ Nd/Nl/No) with full
+# Unicode lowercasing. Python and the JVM agree on every codepoint
+# (special-cased in tests); the DuckDB oracle's simple case mapping
+# diverges ONLY on U+0130 İ (the one multi-char lowercase mapping in
+# Unicode) — oracle fixtures exclude it, documented here rather than
+# papered over.
+TOKENIZERS: dict[str, TokenizerSpec] = {
+    "ascii": TokenizerSpec(
+        "ascii", r"[A-Za-z0-9]+", r"[A-Za-z0-9]+", "[^A-Za-z0-9]+"
+    ),
+    "unicode": TokenizerSpec(
+        "unicode", r"[^\W_]+", r"[\p{L}\p{N}]+", r"[^\pL\pN]+"
+    ),
+}
+
+
+def get_tokenizer(name: str) -> TokenizerSpec:
+    try:
+        return TOKENIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown tokenizer {name!r}; available: {sorted(TOKENIZERS)}"
+        ) from None
+
+
+def tokenize_pd(texts: pd.Series, tokenizer: str = "ascii") -> pd.Series:
     """pandas implementation: Series[str] -> Series[list[str]]."""
-    return texts.fillna("").map(lambda t: [m.lower() for m in _TOKEN_RE.findall(t)])
+    rx = get_tokenizer(tokenizer).regex
+    return texts.fillna("").map(lambda t: [m.lower() for m in rx.findall(t)])
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
@@ -54,19 +115,20 @@ def doclen_udf(texts: pd.Series) -> pd.Series:
     return texts.str.count(TOKEN_PATTERN).fillna(0).astype("int32")
 
 
-def doclen_expr(col: Column | str) -> Column:
+def doclen_expr(col: Column | str, tokenizer: str = "ascii") -> Column:
     """JVM token count: size(regexp_extract_all(text, pattern)) — a codegen
     expression, NOT a higher-order function and NOT a Python UDF, so the
     assembly stage that sums per-turn doclens stays whole-stage-codegen with
-    zero Python workers. Verified equal to :func:`doclen_udf` (tests): the
-    pattern is pure-ASCII, so Java and Python regex agree on every input."""
+    zero Python workers. Verified equal to :func:`doclen_udf` (tests) and,
+    per variant, to the Python regex count (mixed-script fixture tests)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(TOKEN_PATTERN)).cast("int")
+    pat = get_tokenizer(tokenizer).jvm_pattern
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(pat)).cast("int")
 
 
-def tokens_expr(col: Column | str) -> Column:
+def tokens_expr(col: Column | str, tokenizer: str = "ascii") -> Column:
     """Catalyst-only equivalent of :func:`tokenize_udf` (verified equal)."""
     c = F.col(col) if isinstance(col, str) else col
-    split = F.split(F.coalesce(c, F.lit("")), "[^A-Za-z0-9]+")
+    split = F.split(F.coalesce(c, F.lit("")), get_tokenizer(tokenizer).jvm_split)
     nonempty = F.filter(split, lambda t: t != "")
     return F.transform(nonempty, F.lower)

@@ -242,6 +242,7 @@ def pack_doc_tokens(
     shard_docs: int = DEFAULT_SHARD_DOCS,
     text_col: str = "document",
     with_positions: bool = False,
+    tokenizer: str = "ascii",
 ) -> DataFrame:
     """docs(doc_id, src_part, doclen, <text_col>) -> (doc, bucket)-packed rows
     (src_part, bucket, shard, doc_id, doclen, term_ids array, tfs array
@@ -267,9 +268,9 @@ def pack_doc_tokens(
     from typing import Iterator
 
     from ..codecs.multilist import concat_aranges
-    from ..functions.tokenize import _TOKEN_RE
+    from ..functions.tokenize import get_tokenizer
 
-    findall = _TOKEN_RE.findall
+    findall = get_tokenizer(tokenizer).regex.findall
 
     # per-task term→(id, bucket) cache bound: hashing re-runs for evicted
     # terms (correctness unaffected); keeps worker memory O(1) when a task

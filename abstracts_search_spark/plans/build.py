@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .. import B_BM25, K1
 from ..codecs.postings import BLOCK_SIZE
-from ..functions.tokenize import doclen_expr
+from ..functions.tokenize import doclen_expr, get_tokenizer
 from ..operators.docids import assign_doc_ids
 from ..operators.postings import (
     DEFAULT_BUCKETS,
@@ -109,25 +109,37 @@ def build_index(
     max_parts: int | None = None,
     skip_merge: bool = False,
     with_positions: bool = False,
+    tokenizer: str = "ascii",
 ) -> dict:
     """Process pending source partitions, then (re)merge. Returns metrics.
 
     ``with_positions`` adds the positional varint stream to every posting
     (phrase queries); off by default — the throughput build path carries no
-    position bytes through its exchanges. The flag is an INDEX-WIDE contract
-    fixed at first ingest: extending an existing index with the opposite
-    setting would leave a mix of positional and bare segments that no merge
-    group can encode consistently — refused loudly here instead."""
+    position bytes through its exchanges. ``tokenizer`` selects the named
+    token contract (functions/tokenize.TOKENIZERS; "unicode" for non-Latin
+    corpora). Both are INDEX-WIDE contracts fixed at first ingest: extending
+    an existing index with a different setting would leave segments no merge
+    group (positions) or query (tokenizer) can interpret consistently —
+    refused loudly here instead."""
     t0 = time.time()
     guard_lineage_layout(index_dir)
+    get_tokenizer(tokenizer)  # fail fast on an unknown name
     params_path = os.path.join(index_dir, "params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
-            prev_positions = json.load(f).get("positions", False)
+            _prev = json.load(f)
+        prev_positions = _prev.get("positions", False)
         if bool(prev_positions) != bool(with_positions):
             raise ValueError(
                 f"index at {index_dir} was built with positions={prev_positions}; "
                 f"pass with_positions={prev_positions} (or re-ingest into a fresh "
+                "index_dir to change the contract)"
+            )
+        prev_tok = _prev.get("tokenizer", "ascii")
+        if prev_tok != tokenizer:
+            raise ValueError(
+                f"index at {index_dir} was built with tokenizer={prev_tok!r}; "
+                f"pass tokenizer={prev_tok!r} (or re-ingest into a fresh "
                 "index_dir to change the contract)"
             )
     pending = pending_partitions(spark, transcripts_dir, index_dir)
@@ -162,7 +174,7 @@ def build_index(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
             F.first("part").alias("src_part"),
-            F.sum(doclen_expr("text")).cast("int").alias("doclen"),
+            F.sum(doclen_expr("text", tokenizer=tokenizer)).cast("int").alias("doclen"),
         ).persist()
 
         # docIDs are assigned on a SKINNY projection (conv_id + scalars) so the
@@ -184,6 +196,7 @@ def build_index(
             buckets=buckets,
             shard_docs=shard_docs,
             with_positions=with_positions,
+            tokenizer=tokenizer,
         )
         segments = build_segments_packed(packed)
         # schema gate (ADVICE r4): format-5 segments always carry a (nullable)
@@ -274,7 +287,8 @@ def build_index(
         metrics["n_docs"] = sum(r[3] for r in lineage_rows)
 
     if not skip_merge:
-        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs)
+        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs,
+                    tokenizer=tokenizer)
 
     metrics["wall_sec"] = time.time() - t0
     metrics["turns_per_sec"] = metrics["n_turns"] / metrics["wall_sec"] if metrics["n_turns"] else 0.0
@@ -289,6 +303,7 @@ def build_doc_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_positions: bool = True,
+    tokenizer: str = "ascii",
 ) -> None:
     """One-shot index build over a pre-assembled documents table
     (id, text) — the persisted-index path for the flagship query: build ONCE,
@@ -302,18 +317,20 @@ def build_doc_index(
     transcripts build (build_index) defaults them off.
     """
     spark = docs.sparkSession
+    get_tokenizer(tokenizer)  # fail fast on an unknown name
     prepared = (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.lit(0).alias("src_part"),
-            doclen_expr(F.col(text_col)).cast("int").alias("doclen"),
+            doclen_expr(F.col(text_col), tokenizer=tokenizer).cast("int").alias("doclen"),
             F.col(text_col).alias("document"),
         )
         .filter(F.col("doclen") > 0)
         .persist()
     )
     packed = pack_doc_tokens(
-        prepared, buckets=buckets, shard_docs=shard_docs, with_positions=with_positions
+        prepared, buckets=buckets, shard_docs=shard_docs,
+        with_positions=with_positions, tokenizer=tokenizer,
     )
     postings = merge_segments(build_segments_packed(packed)).withColumn("gen", F.lit(0))
     commit(postings, index_dir, "postings", partition_by=["gen", "bucket"],
@@ -362,6 +379,7 @@ def build_doc_index(
                 "n_terms": int(n_terms),
                 "max_generations": DEFAULT_MAX_GENERATIONS,
                 "positions": bool(with_positions),
+                "tokenizer": tokenizer,
             },
             f,
         )
@@ -396,6 +414,7 @@ def merge_index(
     shard_docs: int = DEFAULT_SHARD_DOCS,
     incremental: bool = True,
     max_generations: int | None = None,
+    tokenizer: str | None = None,
 ) -> None:
     """Merge segments -> postings/dictionary/stats (+ params.json).
 
@@ -594,6 +613,12 @@ def merge_index(
         "n_terms": int(n_terms),
         "max_generations": max_generations,
         "positions": has_positions,
+        # the tokenizer is a fixed contract of the index (README "Tokenizer
+        # contract"); unlike positions it is NOT derivable from segment
+        # content, so the destroy-params recovery path keeps the prior value
+        # when params survived and falls back to the engine default otherwise
+        # (build_index passes the ingest-time value through explicitly)
+        "tokenizer": tokenizer or prev.get("tokenizer", "ascii"),
     }
     if "method" in prev:  # keep the tune_index winner across syncs/compactions
         params["method"] = prev["method"]

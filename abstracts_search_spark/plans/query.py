@@ -152,6 +152,11 @@ class IndexReader:
         self.postings = read_table(self.spark, self.index_dir, "postings")
         self.dictionary = read_table(self.spark, self.index_dir, "dictionary")
         self.docmap = read_table(self.spark, self.index_dir, "docmap")
+        # query text is normalized with the INDEX's tokenizer contract
+        # (params.json "tokenizer", fixed at first ingest) — a unicode index
+        # must not have its queries ascii-tokenized or non-Latin query terms
+        # silently vanish before lookup
+        self._tokenizer: str = self.params.get("tokenizer", "ascii")
         # vocab size is recorded at merge time (params.json n_terms); absent
         # (pre-format-4 index) means unknown → treated as large, never counted
         self._n_terms: int | None = self.params.get("n_terms")
@@ -220,7 +225,7 @@ class IndexReader:
         sets, block-max WAND on selective ones).
         """
         method = method or self.params.get("method", "auto")
-        terms = sorted(set(tokenize_pd(pd.Series([text]))[0]))
+        terms = sorted(set(tokenize_pd(pd.Series([text]), tokenizer=self._tokenizer)[0]))
         entries = self.lookup_terms(terms)
         if not entries:
             return self.spark.createDataFrame([], "doc_id long, conv_id string, score double")
@@ -260,7 +265,7 @@ class IndexReader:
                 f"index at {self.index_dir} was built without positions "
                 "(build with with_positions=True for phrase queries)"
             )
-        toks = list(tokenize_pd(pd.Series([phrase]))[0])
+        toks = list(tokenize_pd(pd.Series([phrase]), tokenizer=self._tokenizer)[0])
         empty = self.spark.createDataFrame([], "doc_id long, n_hits int")
         if not toks:
             return empty
@@ -299,7 +304,7 @@ class IndexReader:
             )
         if isinstance(phrases, list):
             phrases = dict(enumerate(phrases))
-        toks = {qid: list(tokenize_pd(pd.Series([t]))[0]) for qid, t in phrases.items()}
+        toks = {qid: list(tokenize_pd(pd.Series([t]), tokenizer=self._tokenizer)[0]) for qid, t in phrases.items()}
         all_terms = sorted({t for ts in toks.values() for t in ts})
         entries = {e["term"]: e for e in self.lookup_terms(all_terms)}
         term_seqs = {
@@ -341,7 +346,7 @@ class IndexReader:
 
         if isinstance(texts, list):
             texts = dict(enumerate(texts))
-        toks = {qid: sorted(set(tokenize_pd(pd.Series([t]))[0])) for qid, t in texts.items()}
+        toks = {qid: sorted(set(tokenize_pd(pd.Series([t]), tokenizer=self._tokenizer)[0])) for qid, t in texts.items()}
         all_terms = sorted({t for ts in toks.values() for t in ts})
         entries = {e["term"]: e for e in self.lookup_terms(all_terms)}
         query_idfs = {

@@ -44,13 +44,14 @@ def stream_build(
     shard_docs: int = DEFAULT_SHARD_DOCS,
     merge_after: bool = True,
     with_positions: bool = False,
+    tokenizer: str = "ascii",
 ) -> dict:
     """Drain all available transcript files into segments, then merge.
 
     Returns {"batches": n} — rerunning after new files land processes only
     the new files (checkpointed file WAL = resume-from-checkpoint).
-    ``with_positions`` follows the same index-wide contract as build_index:
-    fixed at first ingest, mismatches refused.
+    ``with_positions`` and ``tokenizer`` follow the same index-wide
+    contracts as build_index: fixed at first ingest, mismatches refused.
     """
     import json as _json
 
@@ -65,11 +66,18 @@ def stream_build(
     params_path = os.path.join(index_dir, "params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
-            prev_positions = _json.load(f).get("positions", False)
+            _prev = _json.load(f)
+        prev_positions = _prev.get("positions", False)
         if bool(prev_positions) != bool(with_positions):
             raise ValueError(
                 f"index at {index_dir} was built with positions={prev_positions}; "
                 f"pass with_positions={prev_positions}"
+            )
+        prev_tok = _prev.get("tokenizer", "ascii")
+        if prev_tok != tokenizer:
+            raise ValueError(
+                f"index at {index_dir} was built with tokenizer={prev_tok!r}; "
+                f"pass tokenizer={prev_tok!r}"
             )
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     schema = (
@@ -102,7 +110,7 @@ def stream_build(
         docs = turns.groupBy("conv_id").agg(
             F.concat_ws(" ", F.transform(ordered, lambda s: s.getField("text"))).alias("document"),
             F.count("*").alias("n_turns"),
-            F.sum(doclen_expr("text")).cast("int").alias("doclen"),
+            F.sum(doclen_expr("text", tokenizer=tokenizer)).cast("int").alias("doclen"),
         ).filter(F.col("doclen") > 0)
         docs = docs.withColumn("src_part", F.lit(src_part))
 
@@ -119,6 +127,7 @@ def stream_build(
             buckets=buckets,
             shard_docs=shard_docs,
             with_positions=with_positions,
+            tokenizer=tokenizer,
         )
         commit(build_segments_packed(packed), index_dir, "segments", mode="append",
                partition_by=["src_part"], repartition_by=["src_part"],
@@ -169,5 +178,6 @@ def stream_build(
     )
     q.awaitTermination()
     if merge_after and n_batches["n"]:
-        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs)
+        merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs,
+                    tokenizer=tokenizer)
     return {"batches": n_batches["n"]}

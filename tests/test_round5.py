@@ -240,3 +240,129 @@ def test_tune_ann_sweep_and_default(spark, tmp_path):
         got = {row["vec_id"] for row in ann_index_topk(spark, out, qv, k=5).collect()}
         want = {row["vec_id"] for row in cosine_topk(vectors, qv, k=5).collect()}
         assert got == want
+
+
+# ------------------------------------------------ unicode tokenizer ----
+
+
+MIXED_DOCS = [
+    (0, "Привет мир! Ёлка и ёжик встретились 42 раза"),
+    (1, "Grüße aus München — naïve café №7 im Überblick"),
+    (2, "日本語のテキスト 中文文本 and English mixed 2024"),
+    (3, "ελληνικά κείμενα για δοκιμή μηχανής αναζήτησης"),
+    (4, "журнал ŁÓDŹ und die Übersicht naïve мир café"),
+    (5, "plain ascii text with words and numbers 77"),
+    (6, "мир мир мир tokens повторяются для tf веса"),
+]
+
+
+def _duck_docs():
+    import pandas as pd
+
+    return pd.DataFrame(MIXED_DOCS, columns=["doc_id", "text"])
+
+
+def test_unicode_tokenizer_three_way_equality(spark):
+    """Python regex ≡ Spark Catalyst split ≡ DuckDB RE2 split on the
+    mixed-script fixture (the per-variant contract test)."""
+    import duckdb
+
+    from abstracts_search_spark.functions.tokenize import (
+        get_tokenizer,
+        tokenize_pd,
+        tokens_expr,
+    )
+    import pandas as pd
+
+    texts = [t for _, t in MIXED_DOCS]
+    py = list(tokenize_pd(pd.Series(texts), tokenizer="unicode"))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    sp = [list(r[0]) for r in df.select(tokens_expr("text", tokenizer="unicode")).collect()]
+    sql = get_tokenizer("unicode").duckdb_sql.format(col="?")
+    con = duckdb.connect()
+    dk = [con.execute(f"SELECT {sql}", [t]).fetchone()[0] for t in texts]
+    assert py == sp == dk
+    assert any("мир" in toks for toks in py)  # non-Latin text actually tokenized
+
+
+def test_unicode_index_bm25_matches_duckdb_oracle(spark, tmp_path):
+    """An index built with tokenizer='unicode' answers a Cyrillic BM25 query
+    identically to the DuckDB oracle running the unicode SQL template —
+    the CORRECTNESS-style gate for the variant (r4-verdict item 3)."""
+    import duckdb
+
+    from abstracts_search_spark import B_BM25, K1
+    from abstracts_search_spark.functions.tokenize import get_tokenizer
+    from abstracts_search_spark.plans.build import build_doc_index
+    from abstracts_search_spark.plans.query import IndexReader
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(MIXED_DOCS, "doc_id long, text string")
+    ix = str(tmp_path / "uix")
+    build_doc_index(docs, ix, buckets=4, shard_docs=8, tokenizer="unicode")
+    with open(os.path.join(ix, "params.json")) as f:
+        assert json.load(f)["tokenizer"] == "unicode"
+    reader = IndexReader(spark, ix)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in reader.query("мир café", k=5).collect()
+    ]
+
+    tok = get_tokenizer("unicode").duckdb_sql.format(col="text")
+    con = duckdb.connect()
+    con.register("documents", _duck_docs())
+    want = con.execute(f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+q(term) AS (VALUES ('мир'), ('café')),
+dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+              * tf.tf * {K1 + 1.0} / (tf.tf + {K1} * ({1.0 - B_BM25} + {B_BM25} * dl.doclen / s.avgdl)) ) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 5
+""").fetchall()
+    assert got == [(int(d), float(s)) for d, s in want] and len(got) > 0
+
+    # phrase queries ride the same contract (positions default on)
+    hits = reader.phrase_query("мир мир", k=5).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in hits] == [(6, 1)]
+
+    # an ascii-tokenized query against the same corpus would have dropped
+    # the Cyrillic term entirely — prove the reader used the index contract
+    assert any(d == 6 for d, _ in got)
+
+
+def test_tokenizer_contract_gates(spark, tiny_dir, tmp_path):
+    from abstracts_search_spark.plans.build import build_doc_index, build_index
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        build_doc_index(
+            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+            str(tmp_path / "bad"),
+            tokenizer="nope",
+        )
+    ix = str(tmp_path / "ix")
+    build_index(spark, tiny_dir, ix, max_parts=1)  # merge writes the contract
+    with pytest.raises(ValueError, match="tokenizer='ascii'"):
+        build_index(spark, tiny_dir, ix, max_parts=2, tokenizer="unicode")
+
+
+def test_ascii_default_unchanged(spark, tmp_path):
+    """The default build records tokenizer='ascii' and tokenizes exactly as
+    before the registry existed (regression pin for every standing index)."""
+    import pandas as pd
+
+    from abstracts_search_spark.functions.tokenize import tokenize_pd
+
+    assert list(tokenize_pd(pd.Series(["Ä мир Test-42"]))[0]) == ["test", "42"]
+    assert list(tokenize_pd(pd.Series(["Ä мир Test-42"]), tokenizer="ascii")[0]) == [
+        "test",
+        "42",
+    ]
