@@ -146,6 +146,7 @@ def main() -> dict:
             "query_set": query_set,
             "total_sec": round(total, 3),
         }
+        out = _consolidate(out)
         print(json.dumps(out))
         return out
 
@@ -154,9 +155,70 @@ def main() -> dict:
     # warm the persisted documents index (build-once/query-many architecture);
     # its one-time build cost is reported as its own line, never as query time
     t0 = time.time()
-    entrymod._doc_index_reader(spark, sf_dir)
+    doc_reader = entrymod._doc_index_reader(spark, sf_dir)
     timings["doc_index_open"] = round(time.time() - t0, 3)
     print(f"doc_index_open: {timings['doc_index_open']}s", file=sys.stderr)
+
+    # batched phrase set through the positional index (phrase_query_many):
+    # ~20 phrases mixing HOT bigrams (dense posting lists — the regime the
+    # r4 vectorized matcher targets) and selective/absent phrases, one job,
+    # decode shared across phrases. Median-of-3 with raw runs disclosed.
+    phrases = dict(enumerate([
+        "the data", "a table", "table hash", "part filter", "customer join",
+        "slow key", "merge group", "vector small", "filter small", "big order",
+        "batch agg", "row customer", "merge order", "scan query", "data window",
+        "customer join small", "batch window spark", "sort a row",
+        "value fast spark", "quantum flux absent",
+    ]))
+    p_runs = []
+    for i in range(3):
+        t0 = time.time()
+        p_rows = len(doc_reader.phrase_query_many(phrases, k=20).collect())
+        p_runs.append(round(time.time() - t0, 3))
+    timings["phrase_set_20_batched"] = sorted(p_runs)[1]
+    phrase_set = {
+        "n": len(phrases),
+        "total_sec": timings["phrase_set_20_batched"],
+        "qps": round(len(phrases) / timings["phrase_set_20_batched"], 2),
+        "runs": p_runs,
+        "rows": p_rows,
+    }
+    print(f"phrase_set: {phrase_set}", file=sys.stderr)
+
+    # 16-plane (65,536-bucket) ANN probe — the reference's IVF geometry
+    # (README.md:60): build-once cache, then time the Hamming-radius-2 probe
+    # (137 of 65,536 buckets; partition-pruned scan + GEMM scoring)
+    ann16_dir = os.path.join(_REPO, "data", "cache", f"annindex16_{sf_tag}")
+    from abstracts_search_spark.operators.similarity import (
+        ANN_INDEX_FORMAT,
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    params16 = os.path.join(ann16_dir, "ann_params.json")
+    fresh = True
+    if os.path.exists(params16):
+        with open(params16) as f:
+            fresh = json.load(f).get("format") != ANN_INDEX_FORMAT
+    if fresh:
+        shutil.rmtree(ann16_dir, ignore_errors=True)
+        os.makedirs(ann16_dir, exist_ok=True)
+        t0 = time.time()
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        build_ann_index(emb, ann16_dir, n_planes=16)
+        print(f"ann16 build: {round(time.time() - t0, 3)}s", file=sys.stderr)
+    qv = entrymod._query_vec(spark, sf_dir)
+    a_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        n16 = ann_index_topk(spark, ann16_dir, qv, k=10, probe_hamming=2).count()
+        a_runs.append(round(time.time() - t0, 3))
+    timings["ann_probe_16planes_h2"] = sorted(a_runs)[1]
+    print(
+        f"ann_probe_16planes_h2: {timings['ann_probe_16planes_h2']}s "
+        f"({n16} rows; runs {a_runs})",
+        file=sys.stderr,
+    )
 
     qs = entrymod.queries()
     for name in (
@@ -192,9 +254,47 @@ def main() -> dict:
         "bench_scale": bench_scale,
         "build": build,
         "query_set": query_set,
+        "phrase_set": phrase_set,
         "total_sec": round(total, 3),
     }
+    out = _consolidate(out)
     print(json.dumps(out))
+    return out
+
+
+def _consolidate(out: dict) -> dict:
+    """One bench artifact per round (r4-verdict item 7): the emitted JSON —
+    which the driver records as BENCH_r{N}.json — also carries the latest
+    LOCAL re-run (under "local") and the scaling evidence (under "scaling"),
+    so BASELINE.md cites exactly one file. Every run snapshots itself to
+    BENCH_local_latest.json (sans nesting) for the next run to embed."""
+    import datetime
+
+    out = dict(out, ts=datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"))
+    local_path = os.path.join(_REPO, "BENCH_local_latest.json")
+    if os.path.exists(local_path):
+        try:
+            with open(local_path) as f:
+                out["local"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+    scaling_path = os.path.join(_REPO, "BENCH_scaling.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                out["scaling"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+    # scaling/partial invocations (SKIP_HEADLINE) must not clobber the full
+    # local snapshot with a single-core bench16x run
+    if not os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        try:
+            with open(local_path, "w") as f:
+                json.dump(
+                    {k: v for k, v in out.items() if k not in ("local", "scaling")}, f
+                )
+        except OSError:
+            pass
     return out
 
 

@@ -29,6 +29,9 @@ def run_at(cpus: int, repeats: int = 1) -> dict:
     full raw-run list disclosed alongside."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     env.setdefault("SPARK_GRAFT_BENCH_SCALE", "bench")
+    # scaling only needs build + query-set numbers; headline operator queries
+    # at sf0.1 would also pollute the BENCH_local_latest.json snapshot
+    env.setdefault("SPARK_GRAFT_SKIP_HEADLINE", "1")
     runs = []
     for _ in range(repeats):
         out = subprocess.run(
