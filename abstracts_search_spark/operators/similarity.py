@@ -254,8 +254,19 @@ def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
 
 # bumped when the persisted ANN artifact layout or bucketize math changes —
 # cached index dirs built with an older format are rebuilt
-# (3: generation-partitioned layout + sized n_planes + GEMM probe scoring)
-ANN_INDEX_FORMAT = 3
+# (4: bucket-PREFIX directory layout — one dir per 2^GROUP_BITS bucket
+#  group, buckets row-group-pruned within files; 3: generations + sized
+#  n_planes + GEMM probe scoring)
+ANN_INDEX_FORMAT = 4
+
+# directory fan-out bound: vectors partition into at most 2^GROUP_BITS dirs
+# per generation (bgroup = bucket >> (n_planes - GROUP_BITS)), files sorted
+# by bucket so the pushed In(bucket,…) predicate prunes at row-group
+# granularity inside each dir. One-dir-per-bucket at 65,536 buckets would
+# cost every probe a 65k-entry listing (measured: 6.1s/query at sf0.1) —
+# the same driver-serial listing wall FAISS avoids by keeping all inverted
+# lists in one file; 256 dirs + row-group stats is the parquet equivalent.
+ANN_GROUP_BITS = 8
 
 # auto-sizing target: vectors per inverted list at full probe selectivity.
 # The reference trains 65,536 IVF lists over ~10^8 abstracts (README.md:60,
@@ -322,16 +333,24 @@ def _write_ann_params(out_dir: str, params: dict) -> None:
         json.dump(params, f)
 
 
+def _group_shift(n_planes: int) -> int:
+    return max(0, n_planes - ANN_GROUP_BITS)
+
+
 def _bucketize_fn(planes: np.ndarray, id_col: str, vec_col: str, gen: int):
-    """One float64 GEMM per Arrow batch -> (vec_id, embedding, bucket, gen).
-    Catalyst higher-order-function lambdas evaluate interpreted, so the
-    per-row ``bucket_expr`` fold would be the build's CPU ceiling at 100 TB."""
+    """One float64 GEMM per Arrow batch -> (vec_id, embedding, bucket,
+    bgroup, gen). Catalyst higher-order-function lambdas evaluate
+    interpreted, so the per-row ``bucket_expr`` fold would be the build's
+    CPU ceiling at 100 TB. ``bgroup`` is the directory key (bucket prefix,
+    :data:`ANN_GROUP_BITS`); ``bucket`` stays a data column pruned by
+    row-group stats."""
     from typing import Iterator
 
     import pandas as pd
 
     n_planes = planes.shape[0]
     weights = (1 << np.arange(n_planes, dtype=np.int64)).reshape(1, n_planes)
+    shift = _group_shift(n_planes)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -340,11 +359,13 @@ def _bucketize_fn(planes: np.ndarray, id_col: str, vec_col: str, gen: int):
             m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             bits = m @ planes.T >= 0  # float64 — matches the oracle's
             # per-plane double dot products for any non-degenerate input
+            buckets = (bits * weights).sum(axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
                     "embedding": list(pdf[vec_col]),
-                    "bucket": (bits * weights).sum(axis=1).astype(np.int32),
+                    "bucket": buckets,
+                    "bgroup": (buckets >> shift).astype(np.int32),
                     "gen": np.full(len(pdf), gen, dtype=np.int32),
                 }
             )
@@ -360,12 +381,16 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Persist the LSH-bucketed embedding table, partitioned by (gen, bucket).
+    """Persist the LSH-bucketed embedding table, partitioned by
+    (gen, bucket-prefix), bucket-sorted within files.
 
     The on-disk analog of the reference's IVF fill (/root/reference/
-    Makefile:24-25): vectors grouped into inverted lists by coarse bucket so a
-    query reads only its probed buckets' FILES (partition pruning), not just
-    filters them post-scan. ``n_planes=None`` auto-sizes the bucket count to
+    Makefile:24-25): vectors grouped into inverted lists by coarse bucket so
+    a query reads only its probed buckets' data. Pruning is two-level —
+    directory (bgroup PartitionFilter, ≤2^ANN_GROUP_BITS dirs) then
+    row-group (pushed In(bucket,…) against bucket-sorted file stats) — so
+    the 65,536-bucket reference geometry never turns into 65,536 directory
+    listings per probe. ``n_planes=None`` auto-sizes the bucket count to
     the corpus (:func:`auto_n_planes` — 16 planes = the reference's 65,536
     lists at 10^8+ vectors). Generation partitioning makes the index
     INCREMENTAL: :func:`sync_ann_index` appends new vector batches as new
@@ -383,10 +408,11 @@ def build_ann_index(
     vec_type = emb.schema[vec_col].dataType.simpleString()
     bucketed = emb.select(id_col, vec_col).mapInPandas(
         _bucketize_fn(planes, id_col, vec_col, gen=0),
-        schema=f"vec_id long, embedding {vec_type}, bucket int, gen int",
+        schema=f"vec_id long, embedding {vec_type}, bucket int, bgroup int, gen int",
     )
-    commit(bucketed, out_dir, "vectors", partition_by=["gen", "bucket"],
-           repartition_by=["bucket"])
+    commit(bucketed, out_dir, "vectors", partition_by=["gen", "bgroup"],
+           repartition_by=["bgroup"], sort_by=["bucket"],
+           row_group_bytes=1 << 20)
     _write_ann_params(
         out_dir,
         {
@@ -394,6 +420,7 @@ def build_ann_index(
             "seed": seed,
             "dim": int(planes.shape[1]),
             "format": ANN_INDEX_FORMAT,
+            "group_bits": ANN_GROUP_BITS,
             "probe_hamming": 1,
             "vec_type": vec_type,
             "merged_srcs": ["__initial__"],
@@ -439,10 +466,11 @@ def sync_ann_index(
     planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
     bucketed = new_emb.select(id_col, vec_col).mapInPandas(
         _bucketize_fn(planes, id_col, vec_col, gen=next_gen),
-        schema=f"vec_id long, embedding {p['vec_type']}, bucket int, gen int",
+        schema=f"vec_id long, embedding {p['vec_type']}, bucket int, bgroup int, gen int",
     )
     commit(bucketed, out_dir, "vectors", mode="append",
-           partition_by=["gen", "bucket"], repartition_by=["bucket"])
+           partition_by=["gen", "bgroup"], repartition_by=["bgroup"],
+           sort_by=["bucket"], row_group_bytes=1 << 20)
     p["merged_srcs"] = p["merged_srcs"] + [src_tag]
     p["next_gen"] = next_gen + 1
     _write_ann_params(out_dir, p)  # marker LAST
@@ -481,8 +509,13 @@ def ann_index_topk(
     planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
     qsig = _query_sig(query_vec, planes)
     probe = hamming_probe_order(qsig, p["n_planes"], probe_hamming, max_probes)
+    shift = _group_shift(int(p["n_planes"]))
+    groups = sorted({b >> shift for b in probe})
     vectors = read_table(spark, out_dir, "vectors")
-    cand = vectors.filter(F.col("bucket").isin(probe))  # partition pruning
+    # two-level pruning: bgroup is the PartitionFilter (≤2^ANN_GROUP_BITS
+    # dirs listed/read), bucket is the pushed data predicate pruned by the
+    # files' bucket-sorted row-group stats
+    cand = vectors.filter(F.col("bgroup").isin(groups) & F.col("bucket").isin(probe))
 
     qv = np.asarray(query_vec, dtype=np.float64)
     qnorm = float(np.linalg.norm(qv))

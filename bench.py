@@ -220,6 +220,12 @@ def main() -> dict:
         file=sys.stderr,
     )
 
+    # the SIZED driver index (8 planes at this sf), build-once cost separated
+    t0 = time.time()
+    entrymod._ann_index_dir(spark, sf_dir)
+    timings["ann_index_open"] = round(time.time() - t0, 3)
+    print(f"ann_index_open: {timings['ann_index_open']}s", file=sys.stderr)
+
     qs = entrymod.queries()
     for name in (
         "bm25_topk",
@@ -227,6 +233,7 @@ def main() -> dict:
         "phrase_match",
         "phrase_match_indexed",
         "tokenize_tf",
+        "ann_lsh_topk",
         "minhash_lsh_pairs",
         "jaccard_pairs",
         "ann_cosine_topk",

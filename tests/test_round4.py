@@ -162,7 +162,8 @@ def test_ann_driver_query_prunes_partitions(spark, tmp_path, monkeypatch):
     head = scan.split("ReadSchema", 1)[0]
     assert "PartitionFilters" in head
     pf = head.split("PartitionFilters", 1)[1]
-    assert "bucket" in pf[:300], pf[:300]  # probe set prunes to bucket files
+    # probe set prunes to bucket-group dirs (bgroup == bucket at n_planes<=8)
+    assert "bgroup" in pf[:300], pf[:300]
 
     # indexed probe == unindexed scan (same planes, same probes, same scoring)
     got = [(r["vec_id"], r["cos"]) for r in df.collect()]

@@ -127,7 +127,10 @@ def test_ann_probe_plan_has_no_hof_scoring(spark, tmp_path):
     )
     head = scan.split("ReadSchema", 1)[0]
     assert "PartitionFilters" in head
-    assert "bucket" in head.split("PartitionFilters", 1)[1][:300]
+    # two-level pruning: bgroup dirs (PartitionFilters) + pushed bucket
+    # predicate (row-group stats within bucket-sorted files)
+    assert "bgroup" in head.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in scan.split("PushedFilters", 1)[1][:300]
 
 
 def test_ann_sized_16_plane_probe(spark, tmp_path):
