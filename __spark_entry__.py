@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from abstracts_search_spark import B_BM25, K1
-from abstracts_search_spark.functions.tokenize import TOKENIZE_SQL_DUCKDB, tokens_expr
+from abstracts_search_spark.functions.tokenize import (
+    TOKENIZE_SQL_DUCKDB,
+    get_tokenizer,
+    tokens_expr,
+)
 from abstracts_search_spark.functions.uninvert import invert_expr, uninvert_expr
 from abstracts_search_spark.operators import dedup, similarity, textstats
 from abstracts_search_spark.operators.bm25_brute import bm25_score_all, doc_tokens
@@ -54,6 +58,7 @@ BM25_QUERY = "spark query join"
 BM25_HOT_QUERY = "table row scan value"
 ANN_K = 10
 _TOK = TOKENIZE_SQL_DUCKDB  # .format(col=...)
+_UTOK = get_tokenizer("unicode").duckdb_sql  # the any-script variant (F9b)
 
 
 def _ensure_fixture() -> str:
@@ -136,6 +141,20 @@ def _q_tokenize_tf(spark, sf_dir):
     return doc_tokens(_load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id").select(
         "doc_id", "term", "tf"
     )
+
+
+def _q_tokenize_tf_unicode(spark, sf_dir):
+    # F9b: the unicode tokenizer variant through the driver gate — same
+    # shape as tokenize_tf but with the any-script token contract (the
+    # oracle uses the matching DuckDB RE2 template). On the ASCII-dominant
+    # testdata it must agree with DuckDB token-for-token, which pins the
+    # template pair (Catalyst [\p{L}\p{N}]+ vs RE2 [\pL\pN]+) cross-engine.
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens_expr("text", tokenizer="unicode")).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
 def _q_term_df(spark, sf_dir):
@@ -371,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_filter": _q_lang_filter,
         "tokenize_tf": _q_tokenize_tf,
+        "tokenize_tf_unicode": _q_tokenize_tf_unicode,
         "term_df": _q_term_df,
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
@@ -623,6 +643,10 @@ sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toksl W
         ),
         "tokenize_tf": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOK.format(col='text')}) AS term FROM documents)
+SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+""",
+        "tokenize_tf_unicode": f"""
+WITH toks AS (SELECT doc_id, unnest({_UTOK.format(col='text')}) AS term FROM documents)
 SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
 """,
         "term_df": f"""

@@ -451,6 +451,12 @@ def sync_ann_index(
     from ..sources.tables import commit
 
     p = _read_ann_params(out_dir)
+    if p.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"ANN index at {out_dir} is format {p.get('format')} "
+            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index "
+            "before appending generations"
+        )
     if src_tag in p["merged_srcs"]:
         return False  # replay of an already-committed batch
     next_gen = int(p["next_gen"])
