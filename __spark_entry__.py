@@ -333,6 +333,32 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+_ANN_READERS: dict[tuple[int, str], "similarity.AnnIndexReader"] = {}
+
+
+def _ann_reader(spark: SparkSession, sf_dir: str):
+    """Long-lived AnnIndexReader per (session, index) — repeated/batched
+    probes reuse the cached params, plane matrix and table handle."""
+    idx = _ann_index_dir(spark, sf_dir)
+    key = (id(spark), idx)
+    r = _ANN_READERS.get(key)
+    if r is None or r.spark is not spark:
+        r = similarity.AnnIndexReader(spark, idx)
+        _ANN_READERS[key] = r
+    return r
+
+
+def _q_ann_lsh_many(spark, sf_dir):
+    # batched ANN: THREE query vectors answered in ONE job — the scan is
+    # pruned to the union of the queries' probe buckets and every candidate
+    # batch is scored against all queries with a single GEMM
+    # (AnnIndexReader.topk_many, the ANN analog of query_many)
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    return _ann_reader(spark, sf_dir).topk_many(queries, k=ANN_K, probe_hamming=1)
+
+
 def _q_embedding_dups(spark, sf_dir):
     return dedup.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), top=20)
 
@@ -410,6 +436,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash64": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_lsh_topk_many": _q_ann_lsh_many,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
@@ -527,6 +554,50 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 
 def _plane_lit(plane) -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _ann_lsh_many_sql(qvec_ids=(0, 1, 2), k: int = 10) -> str:
+    """Batched-ANN oracle: each query vector is an embeddings row, so its
+    LSH signature IS its own bucket; probes = sig + all Hamming-1 flips
+    (probe_hamming=1), per-query pruning replicated exactly, rank per
+    query_id — mirrors AnnIndexReader.topk_many."""
+    planes = similarity.hyperplanes(64, 8, 42)
+    bucket_cases = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_plane_lit(planes[p])}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(8)
+    )
+    q_union = "\n  UNION ALL\n".join(
+        f"  SELECT {vid} AS query_id, e AS qv, bucket AS sig FROM bk WHERE vec_id = {vid}"
+        for vid in qvec_ids
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, e, ({bucket_cases}) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+q AS (
+{q_union}
+),
+probes AS (
+  SELECT query_id, sig AS p FROM q
+  UNION ALL
+  SELECT query_id, xor(sig, 1 << gs.g) FROM q, generate_series(0, 7) gs(g)
+),
+cand AS (SELECT p.query_id, bk.vec_id, bk.e FROM bk JOIN probes p ON bk.bucket = p.p),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(c.e, q.qv)
+               / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand c JOIN q USING (query_id)
+),
+r AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cos
+  FROM s
+)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {k}
+"""
 
 
 def _embedding_dup_lsh_sql(
@@ -744,6 +815,7 @@ s AS (
 SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_topk_many": _ann_lsh_many_sql(),
         "embedding_dup_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (

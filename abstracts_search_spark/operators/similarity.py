@@ -542,6 +542,153 @@ def ann_index_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+class AnnIndexReader:
+    """Long-lived handle on a persisted ANN index — the vector twin of
+    plans/query.IndexReader: params + plane matrix + the vectors table handle
+    are cached driver-side and re-attached when a sync rewrites
+    ann_params.json (one cheap stat() per query — same staleness protocol),
+    so repeated probes pay zero re-listing and zero params I/O.
+
+    ``topk`` is the single-query probe (same plan as :func:`ann_index_topk`);
+    ``topk_many`` answers a whole query SET in ONE job: the scan is pruned to
+    the union of all queries' probe buckets, each candidate batch is scored
+    against every query with a single (batch × dim)·(dim × q) GEMM, and a
+    per-query window rank bounds the output — the ANN analog of
+    IndexReader.query_many (decode/scan shared across queries).
+    """
+
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._sig: tuple[int, int] | None = None
+        self._attach()
+
+    def _signature(self) -> tuple[int, int]:
+        import os
+
+        st = os.stat(_ann_params_path(self.index_dir))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _attach(self) -> None:
+        from ..sources.tables import read_table
+
+        self._sig = self._signature()
+        self.params = _read_ann_params(self.index_dir)
+        self.planes = hyperplanes(
+            self.params["dim"], self.params["n_planes"], self.params["seed"]
+        )
+        # handle re-created on staleness: a DataFrame's file index is frozen
+        # at read time, so a new gen=G dir is invisible to old handles
+        self.vectors = read_table(self.spark, self.index_dir, "vectors")
+
+    def _refresh_if_stale(self) -> None:
+        if self._signature() != self._sig:
+            self._attach()
+
+    def _probe(self, query_vec, probe_hamming: int | None, max_probes: int | None):
+        if probe_hamming is None:
+            probe_hamming = int(self.params.get("probe_hamming", 1))
+        qsig = _query_sig(query_vec, self.planes)
+        return hamming_probe_order(
+            qsig, int(self.params["n_planes"]), probe_hamming, max_probes
+        )
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        probe_hamming: int | None = None,
+        max_probes: int | None = None,
+    ) -> DataFrame:
+        out = self.topk_many(
+            {0: query_vec}, k=k, probe_hamming=probe_hamming, max_probes=max_probes
+        )
+        return (
+            out.select("vec_id", "cos")
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k)
+        )
+
+    def topk_many(
+        self,
+        queries: dict[int, list[float]],
+        k: int = 10,
+        probe_hamming: int | None = None,
+        max_probes: int | None = None,
+    ) -> DataFrame:
+        """-> (query_id, rank, vec_id, cos): top-k per query, rank by
+        (cos DESC, vec_id ASC), candidates pruned per query to ITS probe
+        set (identical results to per-query :meth:`topk`, tested)."""
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql import Window
+
+        self._refresh_if_stale()
+        empty = self.spark.createDataFrame(
+            [], "query_id int, rank int, vec_id long, cos double"
+        )
+        if not queries:
+            return empty
+        qids = sorted(queries)
+        probes = {qid: self._probe(queries[qid], probe_hamming, max_probes) for qid in qids}
+        # bucket -> indices of the queries probing it (probe sets are small:
+        # |queries| × |probe| entries, driver-side only)
+        by_bucket: dict[int, list[int]] = {}
+        for qi, qid in enumerate(qids):
+            for b in probes[qid]:
+                by_bucket.setdefault(b, []).append(qi)
+        shift = _group_shift(int(self.params["n_planes"]))
+        groups = sorted({b >> shift for b in by_bucket})
+        cand = self.vectors.filter(
+            F.col("bgroup").isin(groups) & F.col("bucket").isin(sorted(by_bucket))
+        )
+        qmat = np.stack([np.asarray(queries[qid], dtype=np.float64) for qid in qids])
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        by_bucket_arr = {
+            b: np.asarray(qis, dtype=np.int64) for b, qis in by_bucket.items()
+        }
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+                )
+                # ONE GEMM scores every candidate against every query …
+                cos = (m @ qmat.T) / np.outer(np.linalg.norm(m, axis=1), qnorm)
+                # … then rows emit only for queries whose probe set contains
+                # the row's bucket (per-query pruning semantics preserved);
+                # one dict lookup per ROW, flat gathers for the fan-out
+                buckets = pdf["bucket"].to_numpy()
+                vids = pdf["vec_id"].to_numpy()
+                qrows = [by_bucket_arr[int(b)] for b in buckets]
+                reps = np.fromiter((a.shape[0] for a in qrows), np.int64, len(qrows))
+                row_idx = np.repeat(np.arange(len(qrows), dtype=np.int64), reps)
+                q_idx = (
+                    np.concatenate(qrows) if qrows else np.empty(0, dtype=np.int64)
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid_arr[q_idx].astype(np.int32),
+                        "vec_id": vids[row_idx],
+                        "cos": np.round(cos[row_idx, q_idx], 6),
+                    }
+                )
+
+        scored = cand.select("vec_id", "bucket", "embedding").mapInPandas(
+            score, schema="query_id int, vec_id long, cos double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos")
+        )
+
+
 def tune_ann_index(
     spark,
     out_dir: str,

@@ -369,3 +369,62 @@ def test_ascii_default_unchanged(spark, tmp_path):
         "test",
         "42",
     ]
+
+
+# --------------------------------------------------- AnnIndexReader ----
+
+
+def test_ann_reader_batched_equals_per_query(spark, tmp_path):
+    """topk_many = per-query topk, one job for the whole set (the ANN analog
+    of IndexReader.query_many); single-query topk goes through the same
+    path."""
+    from abstracts_search_spark.operators.similarity import (
+        AnnIndexReader,
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    emb, vecs = _rand_emb(spark, n=300, dim=24, seed=13)
+    out = str(tmp_path / "ann")
+    build_ann_index(emb, out, n_planes=6)
+    reader = AnnIndexReader(spark, out)
+    queries = {7: vecs[7][1], 42: vecs[42][1], 99: vecs[99][1]}
+    many = reader.topk_many(queries, k=8, probe_hamming=1).collect()
+    assert len(many) > 0
+    by_q: dict[int, list] = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    for qid, qv in queries.items():
+        single = [
+            (i + 1, r["vec_id"], r["cos"])
+            for i, r in enumerate(
+                ann_index_topk(spark, out, qv, k=8, probe_hamming=1).collect()
+            )
+        ]
+        assert sorted(by_q.get(qid, [])) == single
+
+
+def test_ann_reader_refreshes_after_sync(spark, tmp_path):
+    """A long-lived reader must see generations appended by sync_ann_index
+    (same staleness protocol as IndexReader: stat ann_params.json)."""
+    import time
+
+    from abstracts_search_spark.operators.similarity import (
+        AnnIndexReader,
+        build_ann_index,
+        sync_ann_index,
+    )
+
+    emb, vecs = _rand_emb(spark, n=200, dim=16, seed=31)
+    first = emb.filter(F.col("vec_id") < 100)
+    second = emb.filter(F.col("vec_id") >= 100)
+    out = str(tmp_path / "ann")
+    build_ann_index(first, out, n_planes=4)
+    reader = AnnIndexReader(spark, out)
+    q = vecs[150][1]  # belongs to the second batch
+    before = {r["vec_id"] for r in reader.topk(q, k=5, probe_hamming=4).collect()}
+    assert 150 not in before
+    time.sleep(0.01)  # ensure a distinct mtime_ns for the params rewrite
+    sync_ann_index(second, out, src_tag="b2")
+    after = {r["vec_id"] for r in reader.topk(q, k=5, probe_hamming=4).collect()}
+    assert 150 in after  # radius 4 of 4 planes probes every bucket
