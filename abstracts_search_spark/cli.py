@@ -57,6 +57,31 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--text", required=True)
     ph.add_argument("-k", type=int, default=20)
 
+    ab = sub.add_parser("ann-build", help="build the LSH-bucketed ANN index")
+    ab.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
+    ab.add_argument("--index", required=True)
+    ab.add_argument("--planes", type=int, default=None,
+                    help="hyperplane count (default: auto-sized to the corpus)")
+    ab.add_argument("--seed", type=int, default=42)
+
+    asn = sub.add_parser("ann-sync", help="append a new vector batch as the next generation")
+    asn.add_argument("--embeddings", required=True)
+    asn.add_argument("--index", required=True)
+    asn.add_argument("--tag", required=True, help="batch content identity (idempotency key)")
+
+    at = sub.add_parser("ann-tune", help="sweep probe radius, record recall@k in ann_params.json")
+    at.add_argument("--index", required=True)
+    at.add_argument("-k", type=int, default=10)
+
+    aq = sub.add_parser("ann-query", help="top-k cosine probe of the ANN index")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--embeddings", required=True,
+                    help="parquet holding the query vector's row")
+    aq.add_argument("--vec-id", type=int, required=True)
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--probe-hamming", type=int, default=None,
+                    help="probe radius (default: the tuned value in ann_params.json)")
+
     args = p.parse_args(argv)
 
     from abstracts_search_spark.session import build_spark
@@ -101,6 +126,44 @@ def main(argv: list[str] | None = None) -> int:
             reader = IndexReader(spark, args.index)
             for r in reader.phrase_query(args.text, k=args.k).collect():
                 print(json.dumps({"doc_id": r["doc_id"], "n_hits": r["n_hits"]}))
+        elif args.cmd == "ann-build":
+            from abstracts_search_spark.operators.similarity import build_ann_index
+
+            build_ann_index(
+                spark.read.parquet(args.embeddings), args.index,
+                n_planes=args.planes, seed=args.seed,
+            )
+            import json as _json
+
+            with open(f"{args.index}/ann_params.json") as f:
+                print(_json.dumps(_json.load(f)))
+        elif args.cmd == "ann-sync":
+            from abstracts_search_spark.operators.similarity import sync_ann_index
+
+            appended = sync_ann_index(
+                spark.read.parquet(args.embeddings), args.index, src_tag=args.tag
+            )
+            print(json.dumps({"appended": bool(appended), "tag": args.tag}))
+        elif args.cmd == "ann-tune":
+            from abstracts_search_spark.operators.similarity import tune_ann_index
+
+            print(json.dumps(tune_ann_index(spark, args.index, k=args.k)))
+        elif args.cmd == "ann-query":
+            from pyspark.sql import functions as F
+
+            from abstracts_search_spark.operators.similarity import AnnIndexReader
+
+            row = (
+                spark.read.parquet(args.embeddings)
+                .filter(F.col("vec_id") == args.vec_id)
+                .first()
+            )
+            if row is None:
+                raise SystemExit(f"vec_id {args.vec_id} not found in {args.embeddings}")
+            reader = AnnIndexReader(spark, args.index)
+            qv = [float(x) for x in row["embedding"]]
+            for r in reader.topk(qv, k=args.k, probe_hamming=args.probe_hamming).collect():
+                print(json.dumps({"vec_id": r["vec_id"], "cos": r["cos"]}))
     finally:
         spark.stop()
     return 0

@@ -428,3 +428,58 @@ def test_ann_reader_refreshes_after_sync(spark, tmp_path):
     sync_ann_index(second, out, src_tag="b2")
     after = {r["vec_id"] for r in reader.topk(q, k=5, probe_hamming=4).collect()}
     assert 150 in after  # radius 4 of 4 planes probes every bucket
+
+
+# -------------------------------------------------------- ANN via CLI ----
+
+
+def test_cli_ann_build_sync_query(tmp_path):
+    """The ANN surface end-to-end from the command line (foreign cwd,
+    separate JVMs): build -> sync a second batch -> probe; the probed
+    nearest neighbor of a synced vector's own query is itself (cos 1.0)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(17)
+
+    def write_emb(path, ids):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [rng.standard_normal(16).astype("float32") for _ in ids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    e1 = str(tmp_path / "e1.parquet")
+    e2 = str(tmp_path / "e2.parquet")
+    ix = str(tmp_path / "ann")
+    write_emb(e1, list(range(60)))
+    write_emb(e2, list(range(60, 120)))
+
+    def cli(*argv):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "abstracts_search_spark", "cli.py"), *argv],
+            capture_output=True, text=True, cwd=str(tmp_path),
+            env=dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4"),
+            check=True, timeout=300,
+        ).stdout.strip().splitlines()
+
+    params = json.loads(cli("ann-build", "--embeddings", e1, "--index", ix,
+                            "--planes", "4")[-1])
+    assert params["n_planes"] == 4 and params["format"] >= 4
+    synced = json.loads(cli("ann-sync", "--embeddings", e2, "--index", ix,
+                            "--tag", "b2")[-1])
+    assert synced["appended"] is True
+    got = [json.loads(l) for l in cli("ann-query", "--index", ix,
+                                      "--embeddings", e2, "--vec-id", "100",
+                                      "-k", "3", "--probe-hamming", "1")]
+    assert got and got[0]["vec_id"] == 100 and got[0]["cos"] == 1.0
