@@ -234,6 +234,7 @@ def main() -> dict:
         "phrase_match_indexed",
         "tokenize_tf",
         "ann_lsh_topk",
+        "ann_lsh_topk_many",
         "minhash_lsh_pairs",
         "jaccard_pairs",
         "ann_cosine_topk",
