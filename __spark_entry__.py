@@ -27,7 +27,7 @@ from abstracts_search_spark.functions.tokenize import (
     tokens_expr,
 )
 from abstracts_search_spark.functions.uninvert import invert_expr, uninvert_expr
-from abstracts_search_spark.operators import dedup, similarity, textstats
+from abstracts_search_spark.operators import dedup, ivf, similarity, textstats
 from abstracts_search_spark.operators.bm25_brute import bm25_score_all, doc_tokens
 from abstracts_search_spark.operators.docids import assign_doc_ids
 from abstracts_search_spark.operators.multimodal import decode_features, frame_sample
@@ -359,6 +359,66 @@ def _q_ann_lsh_many(spark, sf_dir):
     return _ann_reader(spark, sf_dir).topk_many(queries, k=ANN_K, probe_hamming=1)
 
 
+IVF_N_LISTS = 8  # pinned to the oracle's unrolled CTE chain (prod: auto_n_lists)
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once / query-many for the persisted k-means IVF index (the
+    trained twin of _ann_index_dir): centroids + list-partitioned vectors
+    land in a cache dir on first use; ivf_params.json (written last) is the
+    completeness marker + format stamp."""
+    import json
+    import shutil
+
+    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    idx = os.path.join(_REPO, "data", "cache", f"ivfindex_{tag}")
+    params_path = os.path.join(idx, "ivf_params.json")
+    stale = False
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stale = json.load(f).get("format") != ivf.IVF_INDEX_FORMAT
+    if stale:
+        shutil.rmtree(idx, ignore_errors=True)
+    if not os.path.exists(params_path) or stale:
+        os.makedirs(idx, exist_ok=True)
+        ivf.build_ivf_index(
+            _load(spark, sf_dir, "embeddings"), idx,
+            n_lists=IVF_N_LISTS, iters=IVF_ITERS, nprobe=IVF_NPROBE,
+        )
+    return idx
+
+
+_IVF_READERS: dict[tuple[int, str], "ivf.IvfIndexReader"] = {}
+
+
+def _ivf_reader(spark: SparkSession, sf_dir: str):
+    idx = _ivf_index_dir(spark, sf_dir)
+    key = (id(spark), idx)
+    r = _IVF_READERS.get(key)
+    if r is None or r.spark is not spark:
+        r = ivf.IvfIndexReader(spark, idx)
+        _IVF_READERS[key] = r
+    return r
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    # the trained IVF cell assignment (vec_id -> inverted list) — the output
+    # of the reference's `index train` + fill steps (Makefile:24-25) as a
+    # table; deterministic Lloyd under the round-6 contract (operators/ivf.py)
+    return _ivf_reader(spark, sf_dir).assignments()
+
+
+def _q_ivf_topk(spark, sf_dir):
+    # trained-IVF probe: nprobe nearest k-means cells scanned (directory +
+    # row-group pruned), exact GEMM cosine within the probed cells — the
+    # data-ADAPTIVE counterpart of ann_lsh_topk's hashed cells
+    return _ivf_reader(spark, sf_dir).topk(
+        _query_vec(spark, sf_dir), k=ANN_K, nprobe=IVF_NPROBE
+    )
+
+
 def _q_embedding_dups(spark, sf_dir):
     return dedup.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), top=20)
 
@@ -437,6 +497,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_lsh_topk_many": _q_ann_lsh_many,
+        "kmeans_assign": _q_kmeans_assign,
+        "ivf_topk": _q_ivf_topk,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
@@ -554,6 +616,84 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 
 def _plane_lit(plane) -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _d2_sql(v: str, c: str) -> str:
+    """round((‖v‖² − 2·v·c) + ‖c‖², 6) — the same float64 association order
+    operators/ivf.assign_ids uses, so rounded distances match bit-for-bit."""
+    return (
+        f"round((list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c}))"
+        f" + list_dot_product({c}, {c}), 6)"
+    )
+
+
+def _kmeans_ctes(n_lists: int = IVF_N_LISTS, iters: int = IVF_ITERS) -> tuple[str, str, str]:
+    """DuckDB replication of operators/ivf.train_kmeans, unrolled per Lloyd
+    iteration: init = n_lists lowest-vec_id vectors rounded to 6; each
+    iteration assigns by rounded d² (ties -> lowest cl) then re-centers with
+    a round-6 per-dim mean, empty cells keeping their previous centroid.
+    Returns (cte_block, final_centroid_cte_name, final_assign_cte_name)."""
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_d2_sql('v.e', 'c.e')}, c.cl) AS rn
+    FROM v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+         list_transform(e, x -> round(x, 6)) AS e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_lists})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i}", prev))
+        parts.append(f"""m{i} AS (
+  SELECT cl, idx, round(sum(x) / count(*), 6) AS cx FROM (
+    SELECT a.cl AS cl, unnest(v.e) AS x, generate_subscripts(v.e, 1) AS idx
+    FROM a{i} a JOIN v USING (vec_id)
+  ) GROUP BY cl, idx
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.cl, COALESCE(n.e, p.e) AS e
+  FROM {prev} p LEFT JOIN (SELECT cl, list(cx ORDER BY idx) AS e FROM m{i} GROUP BY cl) n USING (cl)
+)""")
+        prev = f"c{i}"
+    final_assign = f"a{iters + 1}"
+    parts.append(assign_cte(final_assign, prev))
+    return ",\n".join(parts), prev, final_assign
+
+
+def _kmeans_assign_sql() -> str:
+    ctes, _, fa = _kmeans_ctes()
+    return f"""
+WITH {ctes}
+SELECT vec_id, CAST(cl AS INTEGER) AS list_id FROM {fa}
+"""
+
+
+def _ivf_topk_sql(nprobe: int = IVF_NPROBE, k: int = ANN_K) -> str:
+    ctes, cf, fa = _kmeans_ctes()
+    return f"""
+WITH {ctes},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT c.cl, {_d2_sql('q.qv', 'c.e')} AS d FROM {cf} c CROSS JOIN q),
+probe AS (SELECT cl FROM qd ORDER BY d, cl LIMIT {nprobe}),
+cand AS (SELECT v.vec_id, v.e FROM {fa} a JOIN probe USING (cl) JOIN v USING (vec_id)),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(e, q.qv)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {k}
+"""
 
 
 def _ann_lsh_many_sql(qvec_ids=(0, 1, 2), k: int = 10) -> str:
@@ -816,6 +956,8 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_topk_many": _ann_lsh_many_sql(),
+        "kmeans_assign": _kmeans_assign_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "embedding_dup_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (

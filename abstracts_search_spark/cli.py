@@ -82,6 +82,27 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--probe-hamming", type=int, default=None,
                     help="probe radius (default: the tuned value in ann_params.json)")
 
+    ib = sub.add_parser("ivf-build", help="train k-means cells + build the IVF index")
+    ib.add_argument("--embeddings", required=True, help="parquet with (vec_id, embedding)")
+    ib.add_argument("--index", required=True)
+    ib.add_argument("--lists", type=int, default=None,
+                    help="inverted-list count (default: auto-sized to the corpus)")
+    ib.add_argument("--iters", type=int, default=2, help="Lloyd iterations")
+    ib.add_argument("--nprobe", type=int, default=2, help="default probe width")
+
+    it = sub.add_parser("ivf-tune", help="sweep nprobe, record recall@k in ivf_params.json")
+    it.add_argument("--index", required=True)
+    it.add_argument("-k", type=int, default=10)
+
+    iq = sub.add_parser("ivf-query", help="top-k cosine probe of the IVF index")
+    iq.add_argument("--index", required=True)
+    iq.add_argument("--embeddings", required=True,
+                    help="parquet holding the query vector's row")
+    iq.add_argument("--vec-id", type=int, required=True)
+    iq.add_argument("-k", type=int, default=10)
+    iq.add_argument("--nprobe", type=int, default=None,
+                    help="probe width (default: the value in ivf_params.json)")
+
     args = p.parse_args(argv)
 
     from abstracts_search_spark.session import build_spark
@@ -163,6 +184,35 @@ def main(argv: list[str] | None = None) -> int:
             reader = AnnIndexReader(spark, args.index)
             qv = [float(x) for x in row["embedding"]]
             for r in reader.topk(qv, k=args.k, probe_hamming=args.probe_hamming).collect():
+                print(json.dumps({"vec_id": r["vec_id"], "cos": r["cos"]}))
+        elif args.cmd == "ivf-build":
+            from abstracts_search_spark.operators.ivf import build_ivf_index
+
+            build_ivf_index(
+                spark.read.parquet(args.embeddings), args.index,
+                n_lists=args.lists, iters=args.iters, nprobe=args.nprobe,
+            )
+            with open(f"{args.index}/ivf_params.json") as f:
+                print(json.dumps(json.load(f)))
+        elif args.cmd == "ivf-tune":
+            from abstracts_search_spark.operators.ivf import tune_ivf_index
+
+            print(json.dumps(tune_ivf_index(spark, args.index, k=args.k)))
+        elif args.cmd == "ivf-query":
+            from pyspark.sql import functions as F
+
+            from abstracts_search_spark.operators.ivf import IvfIndexReader
+
+            row = (
+                spark.read.parquet(args.embeddings)
+                .filter(F.col("vec_id") == args.vec_id)
+                .first()
+            )
+            if row is None:
+                raise SystemExit(f"vec_id {args.vec_id} not found in {args.embeddings}")
+            reader = IvfIndexReader(spark, args.index)
+            qv = [float(x) for x in row["embedding"]]
+            for r in reader.topk(qv, k=args.k, nprobe=args.nprobe).collect():
                 print(json.dumps({"vec_id": r["vec_id"], "cos": r["cos"]}))
     finally:
         spark.stop()

@@ -10,6 +10,7 @@ from .dedup import (
     simhash64,
 )
 from .dedup import connected_components, dedup_clusters
+from .ivf import IvfIndexReader, build_ivf_index, ivf_index_topk, train_kmeans
 from .phrase import phrase_matches
 from .similarity import ann_index_topk, ann_lsh_topk, build_ann_index, cosine_pairs_lsh, cosine_topk
 from .stats import corpus_stats, term_df
@@ -36,6 +37,10 @@ __all__ = [
     "ann_lsh_topk",
     "ann_index_topk",
     "build_ann_index",
+    "train_kmeans",
+    "build_ivf_index",
+    "ivf_index_topk",
+    "IvfIndexReader",
     "lang_id",
     "quality_score",
     "token_counts",

@@ -1,0 +1,420 @@
+"""IVF (inverted-file) vector index trained with distributed k-means — the
+reference's ACTUAL ANN geometry. The reference trains a FAISS
+``OPQ32,IVF65536_HNSW32,PQ32`` index whose 65,536 inverted lists are k-means
+cluster cells (/root/reference/README.md:60, Makefile:38-39); a query probes
+only the ``nprobe`` nearest cells. The LSH family in
+``operators/similarity.py`` approximates that geometry with data-INDEPENDENT
+hyperplane signs; this module implements the trained, data-ADAPTIVE version:
+list occupancy follows the data distribution, which is why the reference
+trains rather than hashes.
+
+Spark shape: Lloyd iterations are one ``mapInPandas`` pass (per-partition
+GEMM assignment + per-cluster partial sums — the map-side combine) feeding a
+k-row ``applyInPandas`` reduction; only (k × dim) doubles ever reach the
+driver, the same footprint FAISS itself needs to hold the trained
+centroids. The persisted index partitions vectors by contiguous list-range
+directories (≤``IVF_MAX_GROUPS`` dirs) with list-sorted 1 MiB row groups, so
+a probe prunes directory-first then row-group — the same two-level layout as
+the ANN LSH index (one-dir-per-list at 65,536 lists would put a 65k-entry
+listing on every query's driver path).
+
+Cross-engine determinism contract (shared with the DuckDB oracle SQL in
+``__spark_entry__``):
+
+- all math in float64 (exact widening from float32 storage);
+- centroids are rounded to 6 decimals after init and after EVERY Lloyd
+  update, so both engines enter each iteration with identical constants;
+- init = the ``n_lists`` lowest-``vec_id`` vectors (no RNG);
+- assignment = argmin over ``round(d², 6)``, ties broken by lowest list id;
+- d² composed as ``(‖v‖² − 2·v·c) + ‖c‖²`` in both engines (identical
+  floating-point association);
+- a Lloyd update is ``round(Σ members / count, 6)`` per dimension; an empty
+  list keeps its previous (already-rounded) centroid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# bumped when the persisted IVF artifact layout or training math changes
+IVF_INDEX_FORMAT = 1
+
+# directory fan-out bound (same rationale as similarity.ANN_GROUP_BITS)
+IVF_MAX_GROUPS = 256
+
+# auto-sizing target: vectors per inverted list — the reference's 65,536
+# lists over ~10^8 abstracts is ~1.5k vectors/list (README.md:60)
+AUTO_TARGET_LIST_VECS = 1536
+
+
+def auto_n_lists(n_vectors: int) -> int:
+    """Corpus size -> inverted-list count (reference geometry: 10^8 vectors
+    -> 65,536 lists)."""
+    if n_vectors <= 0:
+        return 4
+    return min(65536, max(4, int(round(n_vectors / AUTO_TARGET_LIST_VECS))))
+
+
+def _lgroup_of(lists: np.ndarray, n_lists: int, n_groups: int) -> np.ndarray:
+    """Contiguous list-range directory key: lists [0, n_lists) map onto
+    [0, n_groups) preserving order, so a probe's nearest lists land in few
+    directories."""
+    return ((lists.astype(np.int64) * n_groups) // n_lists).astype(np.int32)
+
+
+def assign_ids(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Vectorized nearest-centroid assignment under the determinism contract:
+    argmin over round(d², 6), ties -> lowest list id (np.argmin keeps the
+    first index on ties)."""
+    vv = (m * m).sum(axis=1)
+    vc = m @ cents.T
+    cc = (cents * cents).sum(axis=1)
+    d2 = np.round((vv[:, None] - 2.0 * vc) + cc[None, :], 6)
+    return d2.argmin(axis=1).astype(np.int32)
+
+
+def init_centroids(
+    emb: DataFrame, n_lists: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic seeding: the n_lists lowest-id vectors, rounded to 6
+    decimals (both engines start from identical constants — no RNG, no
+    kmeans++ sampling order to replicate)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    mat = np.array(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    return np.round(mat, 6)
+
+
+def lloyd_step(
+    emb: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """One distributed Lloyd update: assignment + per-list mean.
+
+    mapInPandas computes the batch GEMM assignment and accumulates per-list
+    (Σvec, count) across the partition — the map-side combine, so the shuffle
+    carries at most (partitions × k) narrow rows; applyInPandas reduces to
+    ≤k rows; only (k × dim) doubles are collected. Empty lists keep their
+    previous centroid."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    k, d = cents.shape
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            cl = assign_ids(m, cents)
+            np.add.at(sums, cl, m)
+            np.add.at(counts, cl, 1)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cl": nz.astype(np.int32),
+                    "psum": list(sums[nz]),
+                    "n": counts[nz],
+                }
+            )
+
+    def reduce_cl(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
+        return pd.DataFrame(
+            {"cl": [np.int32(key[0])], "psum": [s], "n": [pdf["n"].sum()]}
+        )
+
+    schema = "cl int, psum array<double>, n long"
+    tot = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(partials, schema=schema)
+        .groupBy("cl")
+        .applyInPandas(reduce_cl, schema=schema)
+        .collect()
+    )
+    out = cents.copy()
+    for r in tot:
+        out[r["cl"]] = np.round(np.asarray(r["psum"], dtype=np.float64) / r["n"], 6)
+    return out
+
+
+def train_kmeans(
+    emb: DataFrame,
+    n_lists: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means -> (n_lists × dim) float64 centroid
+    matrix (each entry rounded to 6 decimals). The analog of the reference's
+    `index train` step (Makefile:24, 65,536-list k-means on a sample); here
+    the full corpus participates — each iteration is one Spark job."""
+    cents = init_centroids(emb, n_lists, id_col, vec_col)
+    for _ in range(iters):
+        cents = lloyd_step(emb, cents, id_col, vec_col)
+    return cents
+
+
+def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int):
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_lists = cents.shape[0]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            cl = assign_ids(m, cents)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": list(pdf[vec_col]),
+                    "list": cl,
+                    "lgroup": _lgroup_of(cl, n_lists, n_groups),
+                }
+            )
+
+    return assign
+
+
+def _ivf_params_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "ivf_params.json")
+
+
+def _read_ivf_params(out_dir: str) -> dict:
+    with open(_ivf_params_path(out_dir)) as f:
+        return json.load(f)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_lists: int | None = None,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train centroids and persist the IVF index: a ``centroids`` table
+    (cl, centroid) and a ``vectors`` table partitioned by contiguous
+    list-range directory (≤IVF_MAX_GROUPS dirs), list-sorted 1 MiB row
+    groups — the train + fill steps of the reference's Makefile:24-25 as two
+    table commits. ``ivf_params.json`` lands LAST as the completeness
+    marker; writes go through the table facade, so a rebuild is
+    crash-atomic (tmp→swap)."""
+    from ..sources.tables import commit
+
+    n = emb.count()
+    if n_lists is None:
+        n_lists = auto_n_lists(n)
+    n_lists = max(1, min(n_lists, n))
+    n_groups = min(IVF_MAX_GROUPS, n_lists)
+    cents = train_kmeans(emb, n_lists, iters, id_col, vec_col)
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        _assign_fn(cents, id_col, vec_col, n_groups),
+        schema=f"vec_id long, embedding {vec_type}, list int, lgroup int",
+    )
+    commit(assigned, out_dir, "vectors", partition_by=["lgroup"],
+           repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
+
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(n_lists)],
+        "cl int, centroid array<double>",
+    )
+    commit(cdf, out_dir, "centroids")
+    with open(_ivf_params_path(out_dir), "w") as f:
+        json.dump(
+            {
+                "n_lists": int(n_lists),
+                "iters": int(iters),
+                "dim": int(cents.shape[1]),
+                "format": IVF_INDEX_FORMAT,
+                "vec_type": vec_type,
+                "n_groups": int(n_groups),
+                "nprobe": int(nprobe),
+                "n_vectors": int(n),
+            },
+            f,
+        )
+
+
+def probe_lists(query_vec, cents: np.ndarray, nprobe: int) -> list[int]:
+    """The nprobe nearest centroids under round(d², 6), ties -> lowest list
+    id — deterministic, so the oracle's ORDER BY d, cl LIMIT nprobe selects
+    the identical probe set (the reference's nprobe knob, Makefile:31-32)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    vv = float(qv @ qv)
+    d2 = np.round((vv - 2.0 * (cents @ qv)) + (cents * cents).sum(axis=1), 6)
+    order = np.lexsort((np.arange(cents.shape[0]), d2))
+    return [int(x) for x in order[: max(1, nprobe)]]
+
+
+class IvfIndexReader:
+    """Long-lived handle on a persisted IVF index: params + centroid matrix
+    + the vectors table handle cached driver-side, re-attached when a
+    rebuild rewrites ivf_params.json (one stat() per query — the same
+    staleness protocol as IndexReader / AnnIndexReader)."""
+
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._sig: tuple[int, int] | None = None
+        self._attach()
+
+    def _signature(self) -> tuple[int, int]:
+        st = os.stat(_ivf_params_path(self.index_dir))
+        return (st.st_mtime_ns, st.st_size)
+
+    def _attach(self) -> None:
+        from ..sources.tables import read_table
+
+        self._sig = self._signature()
+        self.params = _read_ivf_params(self.index_dir)
+        if self.params.get("format") != IVF_INDEX_FORMAT:
+            raise ValueError(
+                f"IVF index at {self.index_dir} is format "
+                f"{self.params.get('format')} (current {IVF_INDEX_FORMAT}); "
+                "rebuild with build_ivf_index"
+            )
+        crows = read_table(self.spark, self.index_dir, "centroids").collect()
+        cents = np.zeros((self.params["n_lists"], self.params["dim"]), dtype=np.float64)
+        for r in crows:
+            cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
+        self.centroids = cents
+        self.vectors = read_table(self.spark, self.index_dir, "vectors")
+
+    def _refresh_if_stale(self) -> None:
+        if self._signature() != self._sig:
+            self._attach()
+
+    def assignments(self) -> DataFrame:
+        """-> (vec_id, list_id): the full trained assignment table."""
+        self._refresh_if_stale()
+        return self.vectors.select(
+            "vec_id", F.col("list").alias("list_id")
+        )
+
+    def topk(self, query_vec, k: int = 10, nprobe: int | None = None) -> DataFrame:
+        """-> (vec_id, cos) top k: probe the nprobe nearest lists
+        (directory-then-row-group pruned scan), score candidates with one
+        float64 GEMM per Arrow batch, exact cosine within the probed set."""
+        from typing import Iterator
+
+        import pandas as pd
+
+        self._refresh_if_stale()
+        p = self.params
+        if nprobe is None:
+            nprobe = int(p.get("nprobe", 2))
+        probe = probe_lists(query_vec, self.centroids, nprobe)
+        groups = sorted(
+            {int(x) for x in _lgroup_of(np.asarray(probe), p["n_lists"], p["n_groups"])}
+        )
+        cand = self.vectors.filter(
+            F.col("lgroup").isin(groups) & F.col("list").isin(probe)
+        )
+
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qnorm = float(np.linalg.norm(qv))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+                )
+                cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qnorm)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "cos": np.round(cos, 6)}
+                )
+
+        scored = cand.select("vec_id", "embedding").mapInPandas(
+            score, schema="vec_id long, cos double"
+        )
+        return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ivf_index_topk(
+    spark, out_dir: str, query_vec, k: int = 10, nprobe: int | None = None
+) -> DataFrame:
+    """One-shot probe of a persisted IVF index (functional wrapper around
+    :class:`IvfIndexReader` for callers without a long-lived handle)."""
+    return IvfIndexReader(spark, out_dir).topk(query_vec, k=k, nprobe=nprobe)
+
+
+def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict:
+    """Sweep nprobe and record recall@k vs brute force — the IVF analog of
+    the reference's `index tune` nprobe sweep (Makefile:31-32), twin of
+    similarity.tune_ann_index. Sample queries are the index's own n_queries
+    lowest-vec_id vectors (deterministic, no external data); the sweep walks
+    nprobe = 1, 2, 4, … and stops at the first width reaching recall 1.0 —
+    guaranteed to terminate, since nprobe = n_lists probes every cell and IS
+    brute force. The chosen nprobe and the sweep land in ivf_params.json,
+    which :meth:`IvfIndexReader.topk` reads as its default."""
+    from ..operators.similarity import cosine_topk
+
+    reader = IvfIndexReader(spark, out_dir)
+    p = reader.params
+    qrows = (
+        reader.vectors.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    )
+    truth: dict[int, list[int]] = {}
+    for r in qrows:
+        ids = [
+            row["vec_id"]
+            for row in cosine_topk(
+                reader.vectors, [float(x) for x in r["embedding"]], k=k
+            ).collect()
+        ]
+        truth[r["vec_id"]] = ids
+
+    sweep: dict[str, float] = {}
+    n_lists = int(p["n_lists"])
+    chosen = n_lists
+    nprobe = 1
+    while True:
+        nprobe = min(nprobe, n_lists)
+        hits = total = 0
+        for r in qrows:
+            got = {
+                row["vec_id"]
+                for row in reader.topk(
+                    [float(x) for x in r["embedding"]], k=k, nprobe=nprobe
+                ).collect()
+            }
+            want = truth[r["vec_id"]]
+            hits += len(got & set(want))
+            total += len(want)
+        recall = round(hits / total, 4) if total else 1.0
+        sweep[str(nprobe)] = recall
+        if recall >= 1.0 or nprobe >= n_lists:
+            chosen = nprobe
+            break
+        nprobe *= 2
+    p["nprobe"] = int(chosen)
+    p["tune_recall_at_k"] = {"k": k, "n_queries": len(qrows), "sweep": sweep}
+    with open(_ivf_params_path(out_dir), "w") as f:
+        json.dump(p, f)
+    return p

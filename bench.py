@@ -226,6 +226,13 @@ def main() -> dict:
     timings["ann_index_open"] = round(time.time() - t0, 3)
     print(f"ann_index_open: {timings['ann_index_open']}s", file=sys.stderr)
 
+    # trained-IVF index (k-means cells, operators/ivf.py): train+fill cost
+    # separated as its own line, then the nprobe=2 probe rides the loop below
+    t0 = time.time()
+    entrymod._ivf_index_dir(spark, sf_dir)
+    timings["ivf_index_open"] = round(time.time() - t0, 3)
+    print(f"ivf_index_open: {timings['ivf_index_open']}s", file=sys.stderr)
+
     qs = entrymod.queries()
     for name in (
         "bm25_topk",
@@ -235,6 +242,7 @@ def main() -> dict:
         "tokenize_tf",
         "ann_lsh_topk",
         "ann_lsh_topk_many",
+        "ivf_topk",
         "minhash_lsh_pairs",
         "jaccard_pairs",
         "ann_cosine_topk",

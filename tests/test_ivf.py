@@ -1,0 +1,213 @@
+"""IVF k-means index: distributed training ≡ single-node numpy reference
+(bit-identical under the round-6 contract), full-probe ≡ brute cosine,
+persisted index probe, empty-list survival, reader staleness."""
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from abstracts_search_spark.operators.ivf import (
+    IvfIndexReader,
+    assign_ids,
+    auto_n_lists,
+    build_ivf_index,
+    init_centroids,
+    ivf_index_topk,
+    probe_lists,
+    train_kmeans,
+)
+from abstracts_search_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _emb(spark):
+    return spark.read.parquet(SF)
+
+
+def _mat(spark):
+    rows = _emb(spark).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    return ids, m
+
+
+def _kmeans_numpy(ids: np.ndarray, m: np.ndarray, n_lists: int, iters: int):
+    """Single-node reference under the identical determinism contract:
+    init = n_lists lowest-id vectors rounded to 6; per iteration, argmin over
+    round(d²,6) then round-6 per-dim mean; empty lists keep centroids."""
+    order = np.argsort(ids)
+    cents = np.round(m[order[:n_lists]], 6)
+    for _ in range(iters):
+        cl = assign_ids(m, cents)
+        nxt = cents.copy()
+        for c in range(n_lists):
+            mask = cl == c
+            if mask.any():
+                nxt[c] = np.round(m[mask].sum(axis=0) / mask.sum(), 6)
+        cents = nxt
+    return cents
+
+
+def test_train_matches_numpy_reference(spark):
+    ids, m = _mat(spark)
+    want = _kmeans_numpy(ids, m, n_lists=8, iters=3)
+    got = train_kmeans(_emb(spark), n_lists=8, iters=3)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)  # bit-identical under the round-6 contract
+
+
+def test_train_deterministic(spark):
+    a = train_kmeans(_emb(spark), n_lists=6, iters=2)
+    b = train_kmeans(_emb(spark), n_lists=6, iters=2)
+    assert np.array_equal(a, b)
+
+
+def test_init_centroids_rounded_lowest_ids(spark):
+    ids, m = _mat(spark)
+    c = init_centroids(_emb(spark), 4)
+    assert np.array_equal(c, np.round(m[np.argsort(ids)[:4]], 6))
+
+
+def test_full_probe_equals_brute(spark, tmp_path):
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2)
+    row = emb.filter(F.col("vec_id") == 3).first()
+    q = [float(x) for x in row["embedding"]]
+    # probing every list is brute force — identical rows in identical order
+    got = [(r["vec_id"], r["cos"]) for r in ivf_index_topk(spark, out, q, k=10, nprobe=8).collect()]
+    want = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, q, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_probe_finds_self_and_prunes(spark, tmp_path):
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2, nprobe=2)
+    r = IvfIndexReader(spark, out)
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    top = r.topk(q, k=5).collect()
+    # the query IS vector 0: its own cell is the nearest probe, cos(self)=1
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == 1.0
+    # nprobe=1 scans strictly fewer candidates than the full index
+    probe = probe_lists(q, r.centroids, 1)
+    n_cand = r.vectors.filter(F.col("list").isin(probe)).count()
+    assert 0 < n_cand < r.vectors.count()
+
+
+def test_assignments_cover_corpus(spark, tmp_path):
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2)
+    r = IvfIndexReader(spark, out)
+    asg = r.assignments()
+    assert asg.count() == emb.count()
+    lists = {x["list_id"] for x in asg.select("list_id").distinct().collect()}
+    assert lists <= set(range(8)) and len(lists) > 1
+
+
+def test_empty_lists_survive(spark):
+    # duplicate points seed duplicate centroids; ties assign to the LOWEST
+    # list id, so lists 1 and 3 go empty and must keep their init centroids
+    # (no NaN from a 0-count division)
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_kmeans(emb, n_lists=4, iters=2)
+    assert cents.shape == (4, 2)
+    assert np.isfinite(cents).all()
+    assert np.array_equal(cents[1], [0.0, 0.0])  # empty list kept its seed
+    assert np.array_equal(cents[3], [10.0, 10.0])
+    cl = assign_ids(np.array([[0.0, 0.0], [10.0, 10.0]]), cents)
+    assert cl[0] == 0 and cl[1] == 2  # ties resolve to the lowest list id
+
+
+def test_reader_staleness_reattach(spark, tmp_path):
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=4, iters=1)
+    r = IvfIndexReader(spark, out)
+    assert r.params["n_lists"] == 4
+    build_ivf_index(emb, out, n_lists=8, iters=1)  # rewrites ivf_params.json
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    top = r.topk(q, k=3).collect()  # must re-attach, not probe stale handles
+    assert r.params["n_lists"] == 8 and len(top) == 3
+
+
+def test_tune_ivf_records_recall(spark, tmp_path):
+    from abstracts_search_spark.operators.ivf import tune_ivf_index
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2, nprobe=1)
+    p = tune_ivf_index(spark, out, n_queries=4, k=5)
+    sweep = p["tune_recall_at_k"]["sweep"]
+    assert p["tune_recall_at_k"]["k"] == 5 and len(sweep) >= 1
+    assert sweep[str(p["nprobe"])] == 1.0  # chosen width reaches full recall
+    # the tuned nprobe becomes the reader's default (params rewritten on disk)
+    r = IvfIndexReader(spark, out)
+    assert r.params["nprobe"] == p["nprobe"]
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    got = {x["vec_id"] for x in r.topk(q, k=5).collect()}
+    want = {x["vec_id"] for x in cosine_topk(emb, q, k=5).collect()}
+    assert got == want  # recall@5 = 1.0 at the tuned width on a sample query
+
+
+def test_cli_ivf_build_query(tmp_path):
+    """The IVF surface end-to-end from the command line (foreign cwd,
+    separate JVMs): train+build, then probe — a vector's own query must
+    return itself first (cos 1.0) since its cell is the nearest probe."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(23)
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(80)), pa.int64()),
+                "embedding": pa.array(
+                    [rng.standard_normal(16).astype("float32") for _ in range(80)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        emb_path,
+    )
+    ix = str(tmp_path / "ivf")
+
+    def cli(*argv):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "abstracts_search_spark", "cli.py"), *argv],
+            capture_output=True, text=True, cwd=str(tmp_path),
+            env=dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4"),
+            check=True, timeout=300,
+        ).stdout.strip().splitlines()
+
+    params = json.loads(cli("ivf-build", "--embeddings", emb_path, "--index", ix,
+                            "--lists", "6", "--iters", "1")[-1])
+    assert params["n_lists"] == 6 and params["format"] == 1
+    got = [json.loads(line) for line in cli("ivf-query", "--index", ix,
+                                            "--embeddings", emb_path,
+                                            "--vec-id", "7", "-k", "3")]
+    assert got and got[0]["vec_id"] == 7 and got[0]["cos"] == 1.0
+
+
+def test_auto_n_lists_reference_geometry():
+    assert auto_n_lists(10**8) == 65104  # ~the reference's 65,536 lists at 10^8
+    assert auto_n_lists(1536 * 65536 * 2) == 65536  # clamped at the reference max
+    assert auto_n_lists(100) == 4
+    assert auto_n_lists(0) == 4
