@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--iters", type=int, default=2, help="Lloyd iterations")
     ib.add_argument("--nprobe", type=int, default=2, help="default probe width")
 
+    isn = sub.add_parser("ivf-sync", help="append a new vector batch as the next generation (fixed centroids)")
+    isn.add_argument("--embeddings", required=True)
+    isn.add_argument("--index", required=True)
+    isn.add_argument("--tag", required=True, help="batch content identity (idempotency key)")
+
     it = sub.add_parser("ivf-tune", help="sweep nprobe, record recall@k in ivf_params.json")
     it.add_argument("--index", required=True)
     it.add_argument("-k", type=int, default=10)
@@ -194,6 +199,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             with open(f"{args.index}/ivf_params.json") as f:
                 print(json.dumps(json.load(f)))
+        elif args.cmd == "ivf-sync":
+            from abstracts_search_spark.operators.ivf import sync_ivf_index
+
+            appended = sync_ivf_index(
+                spark.read.parquet(args.embeddings), args.index, src_tag=args.tag
+            )
+            print(json.dumps({"appended": bool(appended), "tag": args.tag}))
         elif args.cmd == "ivf-tune":
             from abstracts_search_spark.operators.ivf import tune_ivf_index
 

@@ -10,7 +10,14 @@ from .dedup import (
     simhash64,
 )
 from .dedup import connected_components, dedup_clusters
-from .ivf import IvfIndexReader, build_ivf_index, ivf_index_topk, train_kmeans
+from .ivf import (
+    IvfIndexReader,
+    build_ivf_index,
+    ivf_index_topk,
+    sync_ivf_index,
+    train_kmeans,
+    tune_ivf_index,
+)
 from .phrase import phrase_matches
 from .similarity import ann_index_topk, ann_lsh_topk, build_ann_index, cosine_pairs_lsh, cosine_topk
 from .stats import corpus_stats, term_df
@@ -39,6 +46,8 @@ __all__ = [
     "build_ann_index",
     "train_kmeans",
     "build_ivf_index",
+    "sync_ivf_index",
+    "tune_ivf_index",
     "ivf_index_topk",
     "IvfIndexReader",
     "lang_id",

@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # bumped when the persisted IVF artifact layout or training math changes
-IVF_INDEX_FORMAT = 1
+# (2: generation partitioning — incremental fills append as gen=N under the
+#  same trained centroids, mirroring the ANN index's gen-stacked layout)
+IVF_INDEX_FORMAT = 2
 
 # directory fan-out bound (same rationale as similarity.ANN_GROUP_BITS)
 IVF_MAX_GROUPS = 256
@@ -167,7 +169,7 @@ def train_kmeans(
     return cents
 
 
-def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int):
+def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int, gen: int):
     from typing import Iterator
 
     import pandas as pd
@@ -186,6 +188,7 @@ def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int):
                     "embedding": list(pdf[vec_col]),
                     "list": cl,
                     "lgroup": _lgroup_of(cl, n_lists, n_groups),
+                    "gen": np.full(len(pdf), gen, dtype=np.int32),
                 }
             )
 
@@ -228,10 +231,10 @@ def build_ivf_index(
 
     vec_type = emb.schema[vec_col].dataType.simpleString()
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cents, id_col, vec_col, n_groups),
-        schema=f"vec_id long, embedding {vec_type}, list int, lgroup int",
+        _assign_fn(cents, id_col, vec_col, n_groups, gen=0),
+        schema=f"vec_id long, embedding {vec_type}, list int, lgroup int, gen int",
     )
-    commit(assigned, out_dir, "vectors", partition_by=["lgroup"],
+    commit(assigned, out_dir, "vectors", partition_by=["gen", "lgroup"],
            repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
 
     spark = emb.sparkSession
@@ -251,9 +254,66 @@ def build_ivf_index(
                 "n_groups": int(n_groups),
                 "nprobe": int(nprobe),
                 "n_vectors": int(n),
+                "merged_srcs": ["__initial__"],
+                "next_gen": 1,
             },
             f,
         )
+
+
+def sync_ivf_index(
+    new_emb: DataFrame,
+    out_dir: str,
+    src_tag: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Append a NEW vector batch to a persisted IVF index as the next
+    generation — assignment under the index's FIXED trained centroids, no
+    retrain (the same add-without-train contract as FAISS `index fill` on an
+    already-trained index, and the same crash-replay protocol as
+    similarity.sync_ann_index): ``src_tag`` is the batch's content identity;
+    a tag already recorded in ivf_params.json is a no-op, and generations
+    past the marker (appended, then crashed before the params update) are
+    scrubbed before re-appending, so replays converge. Returns True if a
+    generation was appended."""
+    import shutil
+
+    from ..sources.tables import commit, read_table
+
+    p = _read_ivf_params(out_dir)
+    if p.get("format") != IVF_INDEX_FORMAT:
+        raise ValueError(
+            f"IVF index at {out_dir} is format {p.get('format')} "
+            f"(current {IVF_INDEX_FORMAT}); rebuild with build_ivf_index "
+            "before appending generations"
+        )
+    if src_tag in p["merged_srcs"]:
+        return False  # replay of an already-committed batch
+    next_gen = int(p["next_gen"])
+    vec_root = os.path.join(out_dir, "vectors")
+    if os.path.exists(vec_root):
+        for d in os.listdir(vec_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
+                shutil.rmtree(os.path.join(vec_root, d))
+
+    spark = new_emb.sparkSession
+    crows = read_table(spark, out_dir, "centroids").collect()
+    cents = np.zeros((p["n_lists"], p["dim"]), dtype=np.float64)
+    for r in crows:
+        cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
+    assigned = new_emb.select(id_col, vec_col).mapInPandas(
+        _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen),
+        schema=f"vec_id long, embedding {p['vec_type']}, list int, lgroup int, gen int",
+    )
+    commit(assigned, out_dir, "vectors", mode="append",
+           partition_by=["gen", "lgroup"], repartition_by=["lgroup"],
+           sort_by=["list"], row_group_bytes=1 << 20)
+    p["merged_srcs"] = p["merged_srcs"] + [src_tag]
+    p["next_gen"] = next_gen + 1
+    with open(_ivf_params_path(out_dir), "w") as f:
+        json.dump(p, f)  # marker LAST
+    return True
 
 
 def probe_lists(query_vec, cents: np.ndarray, nprobe: int) -> list[int]:
@@ -351,6 +411,89 @@ class IvfIndexReader:
             score, schema="vec_id long, cos double"
         )
         return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+    def topk_many(
+        self,
+        queries: dict[int, list[float]],
+        k: int = 10,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """-> (query_id, rank, vec_id, cos): top-k per query in ONE job —
+        the scan is pruned to the union of all queries' probe cells, each
+        candidate batch is scored against every query with a single
+        (batch × dim)·(dim × q) GEMM, rows fan out only to queries whose
+        probe set contains the row's cell, and a per-query window rank
+        bounds the output. Identical results to per-query :meth:`topk`
+        (tested) — the IVF twin of AnnIndexReader.topk_many."""
+        from typing import Iterator
+
+        import pandas as pd
+        from pyspark.sql import Window
+
+        self._refresh_if_stale()
+        empty = self.spark.createDataFrame(
+            [], "query_id int, rank int, vec_id long, cos double"
+        )
+        if not queries:
+            return empty
+        p = self.params
+        if nprobe is None:
+            nprobe = int(p.get("nprobe", 2))
+        qids = sorted(queries)
+        probes = {qid: probe_lists(queries[qid], self.centroids, nprobe) for qid in qids}
+        by_list: dict[int, list[int]] = {}
+        for qi, qid in enumerate(qids):
+            for cell in probes[qid]:
+                by_list.setdefault(cell, []).append(qi)
+        groups = sorted(
+            {
+                int(x)
+                for x in _lgroup_of(
+                    np.asarray(sorted(by_list)), p["n_lists"], p["n_groups"]
+                )
+            }
+        )
+        cand = self.vectors.filter(
+            F.col("lgroup").isin(groups) & F.col("list").isin(sorted(by_list))
+        )
+        qmat = np.stack([np.asarray(queries[qid], dtype=np.float64) for qid in qids])
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        by_list_arr = {c: np.asarray(qs, dtype=np.int64) for c, qs in by_list.items()}
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+                )
+                cos = (m @ qmat.T) / np.outer(np.linalg.norm(m, axis=1), qnorm)
+                cells = pdf["list"].to_numpy()
+                vids = pdf["vec_id"].to_numpy()
+                qrows = [by_list_arr[int(c)] for c in cells]
+                reps = np.fromiter((a.shape[0] for a in qrows), np.int64, len(qrows))
+                row_idx = np.repeat(np.arange(len(qrows), dtype=np.int64), reps)
+                q_idx = (
+                    np.concatenate(qrows) if qrows else np.empty(0, dtype=np.int64)
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid_arr[q_idx].astype(np.int32),
+                        "vec_id": vids[row_idx],
+                        "cos": np.round(cos[row_idx, q_idx], 6),
+                    }
+                )
+
+        scored = cand.select("vec_id", "list", "embedding").mapInPandas(
+            score, schema="query_id int, vec_id long, cos double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos")
+        )
 
 
 def ivf_index_topk(

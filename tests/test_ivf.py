@@ -166,6 +166,67 @@ def test_ivf_probe_plan_prunes_and_gemm_scores(spark, tmp_path):
     assert "list" in scan.split("PushedFilters", 1)[1][:300]
 
 
+def test_sync_appends_generation(spark, tmp_path):
+    """Incremental fill: new vectors append as gen=1 under the FIXED trained
+    centroids; probes see both generations; a replayed tag is a no-op; a
+    crash-orphaned generation (appended past the marker) is scrubbed."""
+    import shutil
+
+    from abstracts_search_spark.operators.ivf import sync_ivf_index
+
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") < 400)
+    second = emb.filter(F.col("vec_id") >= 400)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(first, out, n_lists=8, iters=2)
+    r = IvfIndexReader(spark, out)
+    assert r.vectors.count() == 400
+
+    assert sync_ivf_index(second, out, src_tag="batch2") is True
+    row = emb.filter(F.col("vec_id") == 450).first()
+    q = [float(x) for x in row["embedding"]]
+    top = r.topk(q, k=3).collect()  # staleness re-attach must see gen=1
+    assert top[0]["vec_id"] == 450 and top[0]["cos"] == 1.0
+    assert r.vectors.count() == 500
+
+    # replay of a committed tag: no-op, no double ingest
+    assert sync_ivf_index(second, out, src_tag="batch2") is False
+    assert IvfIndexReader(spark, out).vectors.count() == 500
+
+    # crash window: a gen dir exists past the marker -> scrubbed on resync
+    orphan = os.path.join(out, "vectors", "gen=2")
+    shutil.copytree(os.path.join(out, "vectors", "gen=1"), orphan)
+    assert sync_ivf_index(second.limit(10), out, src_tag="batch3") is True
+    counts = {
+        row["gen"]: row["n"]
+        for row in IvfIndexReader(spark, out)
+        .vectors.groupBy("gen")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {0: 400, 1: 100, 2: 10}
+
+
+def test_topk_many_equals_per_query(spark, tmp_path):
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2)
+    r = IvfIndexReader(spark, out)
+    rows = emb.filter(F.col("vec_id").isin([0, 5, 11])).collect()
+    queries = {int(x["vec_id"]): [float(v) for v in x["embedding"]] for x in rows}
+    many = r.topk_many(queries, k=7, nprobe=2).collect()
+    got = {}
+    for x in many:
+        got.setdefault(x["query_id"], []).append((x["rank"], x["vec_id"], x["cos"]))
+    for qid, qv in queries.items():
+        want = [
+            (i + 1, x["vec_id"], x["cos"])
+            for i, x in enumerate(r.topk(qv, k=7, nprobe=2).collect())
+        ]
+        assert sorted(got[qid]) == want
+    assert r.topk_many({}, k=3).count() == 0
+
+
 def test_tune_ivf_records_recall(spark, tmp_path):
     from abstracts_search_spark.operators.ivf import tune_ivf_index
 
@@ -224,11 +285,32 @@ def test_cli_ivf_build_query(tmp_path):
 
     params = json.loads(cli("ivf-build", "--embeddings", emb_path, "--index", ix,
                             "--lists", "6", "--iters", "1")[-1])
-    assert params["n_lists"] == 6 and params["format"] == 1
+    assert params["n_lists"] == 6 and params["format"] == 2
     got = [json.loads(line) for line in cli("ivf-query", "--index", ix,
                                             "--embeddings", emb_path,
                                             "--vec-id", "7", "-k", "3")]
     assert got and got[0]["vec_id"] == 7 and got[0]["cos"] == 1.0
+    # incremental fill from the CLI: synced vectors are probeable
+    emb2_path = str(tmp_path / "emb2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(80, 120)), pa.int64()),
+                "embedding": pa.array(
+                    [rng.standard_normal(16).astype("float32") for _ in range(40)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        emb2_path,
+    )
+    synced = json.loads(cli("ivf-sync", "--embeddings", emb2_path, "--index", ix,
+                            "--tag", "b2")[-1])
+    assert synced["appended"] is True
+    got2 = [json.loads(line) for line in cli("ivf-query", "--index", ix,
+                                             "--embeddings", emb2_path,
+                                             "--vec-id", "100", "-k", "3")]
+    assert got2 and got2[0]["vec_id"] == 100 and got2[0]["cos"] == 1.0
 
 
 def test_auto_n_lists_reference_geometry():
