@@ -419,6 +419,16 @@ def _q_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk_many(spark, sf_dir):
+    # batched trained-IVF probe: three query vectors in ONE job — scan pruned
+    # to the union of the queries' probe cells, one GEMM per candidate batch
+    # against all queries (IvfIndexReader.topk_many, twin of the batched ANN)
+    emb = _load(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    return _ivf_reader(spark, sf_dir).topk_many(queries, k=ANN_K, nprobe=IVF_NPROBE)
+
+
 def _q_embedding_dups(spark, sf_dir):
     return dedup.embedding_dup_pairs(_load(spark, sf_dir, "embeddings"), top=20)
 
@@ -499,6 +509,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk_many": _q_ann_lsh_many,
         "kmeans_assign": _q_kmeans_assign,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_many": _q_ivf_topk_many,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
@@ -693,6 +704,41 @@ s AS (
   FROM cand CROSS JOIN q
 )
 SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+def _ivf_topk_many_sql(
+    qvec_ids=(0, 1, 2), nprobe: int = IVF_NPROBE, k: int = ANN_K
+) -> str:
+    """Batched-IVF oracle: per query, the nprobe nearest trained cells
+    (rounded d², ties -> lowest cl) select the candidates; exact cosine,
+    rank per query — mirrors IvfIndexReader.topk_many."""
+    ctes, cf, fa = _kmeans_ctes()
+    ids = ", ".join(str(i) for i in qvec_ids)
+    return f"""
+WITH {ctes},
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, e AS qv FROM v WHERE vec_id IN ({ids})),
+qd AS (SELECT q.query_id, c.cl, {_d2_sql('q.qv', 'c.e')} AS d FROM {cf} c CROSS JOIN q),
+probe AS (
+  SELECT query_id, cl FROM (
+    SELECT query_id, cl, row_number() OVER (PARTITION BY query_id ORDER BY d, cl) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+),
+cand AS (SELECT p.query_id, a.vec_id FROM {fa} a JOIN probe p USING (cl)),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(v.e, q.qv)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand c JOIN v USING (vec_id) JOIN q USING (query_id)
+),
+r AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank,
+         vec_id, cos
+  FROM s
+)
+SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {k}
 """
 
 
@@ -958,6 +1004,7 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
         "ann_lsh_topk_many": _ann_lsh_many_sql(),
         "kmeans_assign": _kmeans_assign_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "ivf_topk_many": _ivf_topk_many_sql(),
         "embedding_dup_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (
