@@ -390,11 +390,40 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _ivf_sq8_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Quantized sibling of _ivf_index_dir: same cells, SQ8-coded payload
+    (the PQ32-analog storage mode, operators/ivf.py)."""
+    import json
+    import shutil
+
+    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    idx = os.path.join(_REPO, "data", "cache", f"ivfsq8index_{tag}")
+    params_path = os.path.join(idx, "ivf_params.json")
+    stale = False
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stale = json.load(f).get("format") != ivf.IVF_INDEX_FORMAT
+    if stale:
+        shutil.rmtree(idx, ignore_errors=True)
+    if not os.path.exists(params_path) or stale:
+        os.makedirs(idx, exist_ok=True)
+        ivf.build_ivf_index(
+            _load(spark, sf_dir, "embeddings"), idx,
+            n_lists=IVF_N_LISTS, iters=IVF_ITERS, nprobe=IVF_NPROBE,
+            quantize="sq8",
+        )
+    return idx
+
+
 _IVF_READERS: dict[tuple[int, str], "ivf.IvfIndexReader"] = {}
 
 
-def _ivf_reader(spark: SparkSession, sf_dir: str):
-    idx = _ivf_index_dir(spark, sf_dir)
+def _ivf_reader(spark: SparkSession, sf_dir: str, quantized: bool = False):
+    idx = (
+        _ivf_sq8_index_dir(spark, sf_dir)
+        if quantized
+        else _ivf_index_dir(spark, sf_dir)
+    )
     key = (id(spark), idx)
     r = _IVF_READERS.get(key)
     if r is None or r.spark is not spark:
@@ -427,6 +456,17 @@ def _q_ivf_topk_many(spark, sf_dir):
     rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
     queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
     return _ivf_reader(spark, sf_dir).topk_many(queries, k=ANN_K, nprobe=IVF_NPROBE)
+
+
+def _q_ivf_topk_sq8(spark, sf_dir):
+    # quantized-storage IVF probe (the reference's PQ32 analog): candidates
+    # are stored as uint8 SQ8 codes and scored asymmetrically — raw query
+    # vs decoded reconstructions — so results differ from ivf_topk exactly
+    # where quantization error moves a cosine; the oracle recomputes the
+    # identical quantizer (corpus per-dim min/max) and decode in SQL
+    return _ivf_reader(spark, sf_dir, quantized=True).topk(
+        _query_vec(spark, sf_dir), k=ANN_K, nprobe=IVF_NPROBE
+    )
 
 
 def _q_embedding_dups(spark, sf_dir):
@@ -510,6 +550,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kmeans_assign": _q_kmeans_assign,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_many": _q_ivf_topk_many,
+        "ivf_topk_sq8": _q_ivf_topk_sq8,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
@@ -739,6 +780,41 @@ r AS (
   FROM s
 )
 SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_sq8_sql(nprobe: int = IVF_NPROBE, k: int = ANN_K) -> str:
+    """SQ8-storage oracle: the quantizer is the corpus per-dim (min, max) —
+    itself SQL-derivable — and a candidate scores as cos(decode(encode(x)),
+    q_raw) with encode = clamp(floor((x−lo)/s + 0.5), 0, 255), s = (hi−lo)/255
+    (operators/ivf.sq8_encode/sq8_decode, identical float64 ops). Cell
+    assignment runs on RAW vectors (FAISS-ADC semantics), so the probe CTEs
+    are shared with ivf_topk."""
+    ctes, cf, fa = _kmeans_ctes()
+    return f"""
+WITH {ctes},
+u AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS idx FROM v),
+sc AS (
+  SELECT idx, min(x) AS lo, (max(x) - min(x)) / 255.0 AS s FROM u GROUP BY idx
+),
+dq AS (
+  SELECT u.vec_id,
+         list(sc.lo + least(greatest(floor(CASE WHEN sc.s > 0 THEN (u.x - sc.lo) / sc.s + 0.5 ELSE 0.5 END), 0.0), 255.0) * sc.s
+              ORDER BY u.idx) AS eq
+  FROM u JOIN sc USING (idx)
+  GROUP BY u.vec_id
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT c.cl, {_d2_sql('q.qv', 'c.e')} AS d FROM {cf} c CROSS JOIN q),
+probe AS (SELECT cl FROM qd ORDER BY d, cl LIMIT {nprobe}),
+cand AS (SELECT d.vec_id, d.eq FROM {fa} a JOIN probe USING (cl) JOIN dq d USING (vec_id)),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(eq, q.qv)
+               / (sqrt(list_dot_product(eq, eq)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {k}
 """
 
 
@@ -1005,6 +1081,7 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
         "kmeans_assign": _kmeans_assign_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_topk_many": _ivf_topk_many_sql(),
+        "ivf_topk_sq8": _ivf_topk_sq8_sql(),
         "embedding_dup_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (

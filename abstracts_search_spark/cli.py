@@ -89,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="inverted-list count (default: auto-sized to the corpus)")
     ib.add_argument("--iters", type=int, default=2, help="Lloyd iterations")
     ib.add_argument("--nprobe", type=int, default=2, help="default probe width")
+    ib.add_argument("--quantize", choices=["none", "sq8"], default="none",
+                    help="sq8 stores vectors as uint8 codes (4x smaller than float32)")
 
     isn = sub.add_parser("ivf-sync", help="append a new vector batch as the next generation (fixed centroids)")
     isn.add_argument("--embeddings", required=True)
@@ -196,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
             build_ivf_index(
                 spark.read.parquet(args.embeddings), args.index,
                 n_lists=args.lists, iters=args.iters, nprobe=args.nprobe,
+                quantize=args.quantize,
             )
             with open(f"{args.index}/ivf_params.json") as f:
                 print(json.dumps(json.load(f)))

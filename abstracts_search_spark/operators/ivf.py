@@ -42,9 +42,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # bumped when the persisted IVF artifact layout or training math changes
-# (2: generation partitioning — incremental fills append as gen=N under the
+# (3: optional SQ8 scalar quantization — vectors stored as uint8 codes;
+#  2: generation partitioning — incremental fills append as gen=N under the
 #  same trained centroids, mirroring the ANN index's gen-stacked layout)
-IVF_INDEX_FORMAT = 2
+IVF_INDEX_FORMAT = 3
 
 # directory fan-out bound (same rationale as similarity.ANN_GROUP_BITS)
 IVF_MAX_GROUPS = 256
@@ -169,7 +170,18 @@ def train_kmeans(
     return cents
 
 
-def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int, gen: int):
+def _assign_fn(
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_groups: int,
+    gen: int,
+    quant: tuple[np.ndarray, np.ndarray] | None = None,
+):
+    """Fill-stage mapInPandas: assignment always runs on the RAW vector (the
+    coarse quantizer sees full precision, as in FAISS ADC); with ``quant``
+    set, the stored payload is the uint8 SQ8 code bytes instead of the
+    vector — a 4× storage shrink for float32 inputs."""
     from typing import Iterator
 
     import pandas as pd
@@ -182,17 +194,98 @@ def _assign_fn(cents: np.ndarray, id_col: str, vec_col: str, n_groups: int, gen:
                 continue
             m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             cl = assign_ids(m, cents)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "embedding": list(pdf[vec_col]),
-                    "list": cl,
-                    "lgroup": _lgroup_of(cl, n_lists, n_groups),
-                    "gen": np.full(len(pdf), gen, dtype=np.int32),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "list": cl,
+                "lgroup": _lgroup_of(cl, n_lists, n_groups),
+                "gen": np.full(len(pdf), gen, dtype=np.int32),
+            }
+            if quant is None:
+                out["embedding"] = list(pdf[vec_col])
+            else:
+                codes = sq8_encode(m, quant[0], quant[1])
+                out["codes"] = [row.tobytes() for row in codes]
+            yield pd.DataFrame(out)
 
     return assign
+
+
+def _payload_schema(p_or_vec_type, quantize: str) -> str:
+    if quantize == "sq8":
+        return "codes binary"
+    return f"embedding {p_or_vec_type}"
+
+
+def corpus_min_max(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus — the SQ8 quantizer's
+    training step. Exact and order-independent (min/max have no
+    floating-point summation-order issues), so both engines derive identical
+    quantizer constants. One mapInPandas pass emitting one partial row per
+    partition; ≤partitions rows reach the driver."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo = hi = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            blo, bhi = m.min(axis=0), m.max(axis=0)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo], "hi": [hi]})
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema="lo array<double>, hi array<double>")
+        .collect()
+    )
+    lo = np.min(np.stack([np.asarray(r["lo"]) for r in rows]), axis=0)
+    hi = np.max(np.stack([np.asarray(r["hi"]) for r in rows]), axis=0)
+    return lo, hi
+
+
+def sq8_encode(m: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.ndarray:
+    """float64 (n × d) -> uint8 codes under the cross-engine contract:
+    code = clamp(floor((x − qmin)/qscale + 0.5), 0, 255) — floor(v + 0.5) is
+    half-away-from-zero for the non-negative operand, matching SQL
+    floor(v + 0.5) exactly (np.round would banker's-round). A zero-range
+    dimension (qscale 0) codes to 0 and decodes to qmin."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = np.where(qscale > 0, (m - qmin) / np.where(qscale > 0, qscale, 1.0), 0.0)
+    return np.clip(np.floor(v + 0.5), 0.0, 255.0).astype(np.uint8)
+
+
+def sq8_decode(codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.ndarray:
+    """uint8 codes -> the reconstruction x̂ = qmin + code·qscale (float64)."""
+    return qmin + codes.astype(np.float64) * qscale
+
+
+def _matrix_fn(quant: tuple[np.ndarray, np.ndarray] | None):
+    """Candidate batch -> float64 matrix: raw vectors widened, or SQ8 codes
+    reconstructed (x̂ = qmin + code·qscale — asymmetric scoring: the query
+    stays full-precision, as in FAISS ADC). Standalone closure (only numpy
+    arrays captured), so scoring UDFs never pickle a reader/session."""
+    if quant is None:
+        def to_matrix(pdf) -> np.ndarray:
+            return np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+    else:
+        qmin, qscale = quant
+
+        def to_matrix(pdf) -> np.ndarray:
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+            )
+            return sq8_decode(codes, qmin, qscale)
+
+    return to_matrix
 
 
 def _ivf_params_path(out_dir: str) -> str:
@@ -210,6 +303,7 @@ def build_ivf_index(
     n_lists: int | None = None,
     iters: int = 2,
     nprobe: int = 2,
+    quantize: str = "none",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -219,9 +313,18 @@ def build_ivf_index(
     groups — the train + fill steps of the reference's Makefile:24-25 as two
     table commits. ``ivf_params.json`` lands LAST as the completeness
     marker; writes go through the table facade, so a rebuild is
-    crash-atomic (tmp→swap)."""
+    crash-atomic (tmp→swap).
+
+    ``quantize="sq8"`` stores each vector as uint8 codes (per-dim min/scale
+    trained on the corpus alongside the centroids) — the analog of the
+    reference's PQ32 compression (README.md:60: vectors live in the index as
+    quantized codes, queries score asymmetrically against reconstructions;
+    4× smaller than float32 storage). Like the centroids, the quantizer is
+    fixed at build time; later generations encode with it unchanged."""
     from ..sources.tables import commit
 
+    if quantize not in ("none", "sq8"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     n = emb.count()
     if n_lists is None:
         n_lists = auto_n_lists(n)
@@ -230,9 +333,15 @@ def build_ivf_index(
     cents = train_kmeans(emb, n_lists, iters, id_col, vec_col)
 
     vec_type = emb.schema[vec_col].dataType.simpleString()
+    quant = None
+    qmin = qscale = None
+    if quantize == "sq8":
+        lo, hi = corpus_min_max(emb, vec_col)
+        qmin, qscale = lo, (hi - lo) / 255.0
+        quant = (qmin, qscale)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cents, id_col, vec_col, n_groups, gen=0),
-        schema=f"vec_id long, embedding {vec_type}, list int, lgroup int, gen int",
+        _assign_fn(cents, id_col, vec_col, n_groups, gen=0, quant=quant),
+        schema=f"vec_id long, {_payload_schema(vec_type, quantize)}, list int, lgroup int, gen int",
     )
     commit(assigned, out_dir, "vectors", partition_by=["gen", "lgroup"],
            repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
@@ -243,22 +352,24 @@ def build_ivf_index(
         "cl int, centroid array<double>",
     )
     commit(cdf, out_dir, "centroids")
+    params = {
+        "n_lists": int(n_lists),
+        "iters": int(iters),
+        "dim": int(cents.shape[1]),
+        "format": IVF_INDEX_FORMAT,
+        "vec_type": vec_type,
+        "n_groups": int(n_groups),
+        "nprobe": int(nprobe),
+        "n_vectors": int(n),
+        "quantize": quantize,
+        "merged_srcs": ["__initial__"],
+        "next_gen": 1,
+    }
+    if quantize == "sq8":
+        params["sq8_min"] = [float(x) for x in qmin]
+        params["sq8_scale"] = [float(x) for x in qscale]
     with open(_ivf_params_path(out_dir), "w") as f:
-        json.dump(
-            {
-                "n_lists": int(n_lists),
-                "iters": int(iters),
-                "dim": int(cents.shape[1]),
-                "format": IVF_INDEX_FORMAT,
-                "vec_type": vec_type,
-                "n_groups": int(n_groups),
-                "nprobe": int(nprobe),
-                "n_vectors": int(n),
-                "merged_srcs": ["__initial__"],
-                "next_gen": 1,
-            },
-            f,
-        )
+        json.dump(params, f)
 
 
 def sync_ivf_index(
@@ -302,9 +413,16 @@ def sync_ivf_index(
     cents = np.zeros((p["n_lists"], p["dim"]), dtype=np.float64)
     for r in crows:
         cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
+    quantize = p.get("quantize", "none")
+    quant = None
+    if quantize == "sq8":  # encode with the index's FIXED quantizer, no retrain
+        quant = (
+            np.asarray(p["sq8_min"], dtype=np.float64),
+            np.asarray(p["sq8_scale"], dtype=np.float64),
+        )
     assigned = new_emb.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen),
-        schema=f"vec_id long, embedding {p['vec_type']}, list int, lgroup int, gen int",
+        _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen, quant=quant),
+        schema=f"vec_id long, {_payload_schema(p['vec_type'], quantize)}, list int, lgroup int, gen int",
     )
     commit(assigned, out_dir, "vectors", mode="append",
            partition_by=["gen", "lgroup"], repartition_by=["lgroup"],
@@ -360,6 +478,15 @@ class IvfIndexReader:
             cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
         self.centroids = cents
         self.vectors = read_table(self.spark, self.index_dir, "vectors")
+        self.quant: tuple[np.ndarray, np.ndarray] | None = None
+        if self.params.get("quantize", "none") == "sq8":
+            self.quant = (
+                np.asarray(self.params["sq8_min"], dtype=np.float64),
+                np.asarray(self.params["sq8_scale"], dtype=np.float64),
+            )
+
+    def _payload_col(self) -> str:
+        return "codes" if self.quant is not None else "embedding"
 
     def _refresh_if_stale(self) -> None:
         if self._signature() != self._sig:
@@ -394,20 +521,19 @@ class IvfIndexReader:
 
         qv = np.asarray(query_vec, dtype=np.float64)
         qnorm = float(np.linalg.norm(qv))
+        to_matrix = _matrix_fn(self.quant)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                m = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-                )
+                m = to_matrix(pdf)
                 cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qnorm)
                 yield pd.DataFrame(
                     {"vec_id": pdf["vec_id"].to_numpy(), "cos": np.round(cos, 6)}
                 )
 
-        scored = cand.select("vec_id", "embedding").mapInPandas(
+        scored = cand.select("vec_id", self._payload_col()).mapInPandas(
             score, schema="vec_id long, cos double"
         )
         return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -460,14 +586,13 @@ class IvfIndexReader:
         qnorm = np.linalg.norm(qmat, axis=1)
         qid_arr = np.asarray(qids, dtype=np.int64)
         by_list_arr = {c: np.asarray(qs, dtype=np.int64) for c, qs in by_list.items()}
+        to_matrix = _matrix_fn(self.quant)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                m = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
-                )
+                m = to_matrix(pdf)
                 cos = (m @ qmat.T) / np.outer(np.linalg.norm(m, axis=1), qnorm)
                 cells = pdf["list"].to_numpy()
                 vids = pdf["vec_id"].to_numpy()
@@ -485,7 +610,7 @@ class IvfIndexReader:
                     }
                 )
 
-        scored = cand.select("vec_id", "list", "embedding").mapInPandas(
+        scored = cand.select("vec_id", "list", self._payload_col()).mapInPandas(
             score, schema="query_id int, vec_id long, cos double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -508,46 +633,49 @@ def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict
     """Sweep nprobe and record recall@k vs brute force — the IVF analog of
     the reference's `index tune` nprobe sweep (Makefile:31-32), twin of
     similarity.tune_ann_index. Sample queries are the index's own n_queries
-    lowest-vec_id vectors (deterministic, no external data); the sweep walks
-    nprobe = 1, 2, 4, … and stops at the first width reaching recall 1.0 —
-    guaranteed to terminate, since nprobe = n_lists probes every cell and IS
-    brute force. The chosen nprobe and the sweep land in ivf_params.json,
-    which :meth:`IvfIndexReader.topk` reads as its default."""
-    from ..operators.similarity import cosine_topk
+    lowest-vec_id vectors (deterministic, no external data; on an SQ8 index
+    the stored codes are reconstructed — the sweep measures the quantizer's
+    own geometry); the sweep walks nprobe = 1, 2, 4, … and stops at the
+    first width reaching recall 1.0 — guaranteed to terminate, since
+    nprobe = n_lists probes every cell and IS the exhaustive scan (the
+    ground truth in both storage modes). The chosen nprobe and the sweep
+    land in ivf_params.json, which :meth:`IvfIndexReader.topk` reads as its
+    default."""
+    import pandas as pd
 
     reader = IvfIndexReader(spark, out_dir)
     p = reader.params
+    payload = reader._payload_col()
     qrows = (
-        reader.vectors.select("vec_id", "embedding")
+        reader.vectors.select("vec_id", payload)
         .orderBy("vec_id")
         .limit(n_queries)
         .collect()
     )
+    qmat = _matrix_fn(reader.quant)(
+        pd.DataFrame({payload: [r[payload] for r in qrows]})
+    )
+    qvecs = {int(r["vec_id"]): [float(x) for x in qmat[i]] for i, r in enumerate(qrows)}
     truth: dict[int, list[int]] = {}
-    for r in qrows:
-        ids = [
+    n_lists = int(p["n_lists"])
+    for qid, qv in qvecs.items():
+        truth[qid] = [
             row["vec_id"]
-            for row in cosine_topk(
-                reader.vectors, [float(x) for x in r["embedding"]], k=k
-            ).collect()
+            for row in reader.topk(qv, k=k, nprobe=n_lists).collect()
         ]
-        truth[r["vec_id"]] = ids
 
     sweep: dict[str, float] = {}
-    n_lists = int(p["n_lists"])
     chosen = n_lists
     nprobe = 1
     while True:
         nprobe = min(nprobe, n_lists)
         hits = total = 0
-        for r in qrows:
+        for qid, qv in qvecs.items():
             got = {
                 row["vec_id"]
-                for row in reader.topk(
-                    [float(x) for x in r["embedding"]], k=k, nprobe=nprobe
-                ).collect()
+                for row in reader.topk(qv, k=k, nprobe=nprobe).collect()
             }
-            want = truth[r["vec_id"]]
+            want = truth[qid]
             hits += len(got & set(want))
             total += len(want)
         recall = round(hits / total, 4) if total else 1.0

@@ -247,6 +247,74 @@ def test_tune_ivf_records_recall(spark, tmp_path):
     assert got == want  # recall@5 = 1.0 at the tuned width on a sample query
 
 
+def _dir_bytes(root, sub):
+    total = 0
+    for dirpath, _, files in os.walk(os.path.join(root, sub)):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def test_sq8_reconstruction_and_storage(spark, tmp_path):
+    """SQ8 mode: codes decode to the documented reconstruction, scoring is
+    asymmetric (raw query vs decoded candidates), the index's own vector is
+    still the top hit, and the vectors table shrinks vs float32 storage."""
+    from abstracts_search_spark.operators.ivf import sq8_decode, sq8_encode
+
+    emb = _emb(spark)
+    full = str(tmp_path / "full")
+    q8 = str(tmp_path / "sq8")
+    build_ivf_index(emb, full, n_lists=8, iters=1)
+    build_ivf_index(emb, q8, n_lists=8, iters=1, quantize="sq8")
+
+    r = IvfIndexReader(spark, q8)
+    assert r.params["quantize"] == "sq8" and r.quant is not None
+    qmin, qscale = r.quant
+    # codec roundtrip sanity on the real corpus matrix
+    ids, m = _mat(spark)
+    codes = sq8_encode(m, qmin, qscale)
+    recon = sq8_decode(codes, qmin, qscale)
+    assert np.abs(recon - m).max() <= np.where(qscale > 0, qscale, 0).max() * 0.5 + 1e-12
+
+    row = _emb(spark).filter(F.col("vec_id") == 9).first()
+    qv = [float(x) for x in row["embedding"]]
+    top = r.topk(qv, k=5, nprobe=8).collect()
+    assert top[0]["vec_id"] == 9  # self still wins under quantization…
+    assert top[0]["cos"] < 1.0  # …but the reconstruction is not exact
+    # full-probe SQ8 result == numpy oracle over the reconstructions
+    order = np.argsort(ids)
+    recon_s = recon[order]
+    qv64 = np.asarray(qv, dtype=np.float64)
+    cos = np.round(
+        (recon_s @ qv64)
+        / (np.linalg.norm(recon_s, axis=1) * np.linalg.norm(qv64)),
+        6,
+    )
+    want_ids = ids[order][np.lexsort((ids[order], -cos))][:5]
+    assert [t["vec_id"] for t in top] == [int(x) for x in want_ids]
+
+    # the point of PQ-style storage: materially smaller vectors table
+    assert _dir_bytes(q8, "vectors") < 0.6 * _dir_bytes(full, "vectors")
+
+
+def test_sq8_sync_and_tune(spark, tmp_path):
+    """Generations encode with the FIXED stored quantizer; tune sweeps on
+    reconstructions (no embedding column needed)."""
+    from abstracts_search_spark.operators.ivf import sync_ivf_index, tune_ivf_index
+
+    emb = _emb(spark)
+    out = str(tmp_path / "sq8")
+    build_ivf_index(emb.filter(F.col("vec_id") < 400), out, n_lists=8,
+                    iters=1, quantize="sq8")
+    assert sync_ivf_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b2")
+    r = IvfIndexReader(spark, out)
+    assert r.vectors.count() == 500
+    row = emb.filter(F.col("vec_id") == 450).first()
+    top = r.topk([float(x) for x in row["embedding"]], k=3, nprobe=8).collect()
+    assert top[0]["vec_id"] == 450
+    p = tune_ivf_index(spark, out, n_queries=3, k=5)
+    assert p["tune_recall_at_k"]["sweep"][str(p["nprobe"])] == 1.0
+
+
 def test_cli_ivf_build_query(tmp_path):
     """The IVF surface end-to-end from the command line (foreign cwd,
     separate JVMs): train+build, then probe — a vector's own query must
@@ -285,7 +353,7 @@ def test_cli_ivf_build_query(tmp_path):
 
     params = json.loads(cli("ivf-build", "--embeddings", emb_path, "--index", ix,
                             "--lists", "6", "--iters", "1")[-1])
-    assert params["n_lists"] == 6 and params["format"] == 2
+    assert params["n_lists"] == 6 and params["format"] == 3
     got = [json.loads(line) for line in cli("ivf-query", "--index", ix,
                                             "--embeddings", emb_path,
                                             "--vec-id", "7", "-k", "3")]
