@@ -233,6 +233,12 @@ def main() -> dict:
     timings["ivf_index_open"] = round(time.time() - t0, 3)
     print(f"ivf_index_open: {timings['ivf_index_open']}s", file=sys.stderr)
 
+    # SQ8-quantized sibling (uint8 codes, the PQ-analog storage mode)
+    t0 = time.time()
+    entrymod._ivf_sq8_index_dir(spark, sf_dir)
+    timings["ivf_sq8_index_open"] = round(time.time() - t0, 3)
+    print(f"ivf_sq8_index_open: {timings['ivf_sq8_index_open']}s", file=sys.stderr)
+
     qs = entrymod.queries()
     for name in (
         "bm25_topk",
@@ -243,6 +249,7 @@ def main() -> dict:
         "ann_lsh_topk",
         "ann_lsh_topk_many",
         "ivf_topk",
+        "ivf_topk_sq8",
         "minhash_lsh_pairs",
         "jaccard_pairs",
         "ann_cosine_topk",
