@@ -91,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--nprobe", type=int, default=2, help="default probe width")
     ib.add_argument("--quantize", choices=["none", "sq8"], default="none",
                     help="sq8 stores vectors as uint8 codes (4x smaller than float32)")
+    ib.add_argument("--train-sample-mod", type=int, default=1,
+                    help="train centroids on the 1/m sample vec_id %% m == 0")
 
     isn = sub.add_parser("ivf-sync", help="append a new vector batch as the next generation (fixed centroids)")
     isn.add_argument("--embeddings", required=True)
@@ -198,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             build_ivf_index(
                 spark.read.parquet(args.embeddings), args.index,
                 n_lists=args.lists, iters=args.iters, nprobe=args.nprobe,
-                quantize=args.quantize,
+                quantize=args.quantize, train_sample_mod=args.train_sample_mod,
             )
             with open(f"{args.index}/ivf_params.json") as f:
                 print(json.dumps(json.load(f)))

@@ -304,6 +304,7 @@ def build_ivf_index(
     iters: int = 2,
     nprobe: int = 2,
     quantize: str = "none",
+    train_sample_mod: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -320,23 +321,37 @@ def build_ivf_index(
     reference's PQ32 compression (README.md:60: vectors live in the index as
     quantized codes, queries score asymmetrically against reconstructions;
     4× smaller than float32 storage). Like the centroids, the quantizer is
-    fixed at build time; later generations encode with it unchanged."""
+    fixed at build time; later generations encode with it unchanged.
+
+    ``train_sample_mod=m`` trains centroids (and the SQ8 quantizer) on the
+    deterministic 1/m sample ``vec_id % m == 0`` instead of the full corpus
+    — the reference trains FAISS the same way (a RAM-sized sample, not all
+    10^8 vectors); at 100 TB the 2×iters training scans touch 1/m of the
+    data while the fill still assigns every vector. The predicate is
+    engine-portable (plain modulo), so a sampled index stays oracle-able."""
     from ..sources.tables import commit
 
     if quantize not in ("none", "sq8"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
+    if train_sample_mod < 1:
+        raise ValueError("train_sample_mod must be >= 1")
+    train_emb = (
+        emb if train_sample_mod == 1
+        else emb.filter(F.col(id_col) % train_sample_mod == 0)
+    )
     n = emb.count()
+    n_train = n if train_sample_mod == 1 else train_emb.count()
     if n_lists is None:
         n_lists = auto_n_lists(n)
-    n_lists = max(1, min(n_lists, n))
+    n_lists = max(1, min(n_lists, n_train))
     n_groups = min(IVF_MAX_GROUPS, n_lists)
-    cents = train_kmeans(emb, n_lists, iters, id_col, vec_col)
+    cents = train_kmeans(train_emb, n_lists, iters, id_col, vec_col)
 
     vec_type = emb.schema[vec_col].dataType.simpleString()
     quant = None
     qmin = qscale = None
     if quantize == "sq8":
-        lo, hi = corpus_min_max(emb, vec_col)
+        lo, hi = corpus_min_max(train_emb, vec_col)
         qmin, qscale = lo, (hi - lo) / 255.0
         quant = (qmin, qscale)
     assigned = emb.select(id_col, vec_col).mapInPandas(
@@ -362,6 +377,7 @@ def build_ivf_index(
         "nprobe": int(nprobe),
         "n_vectors": int(n),
         "quantize": quantize,
+        "train_sample_mod": int(train_sample_mod),
         "merged_srcs": ["__initial__"],
         "next_gen": 1,
     }

@@ -296,6 +296,24 @@ def test_sq8_reconstruction_and_storage(spark, tmp_path):
     assert _dir_bytes(q8, "vectors") < 0.6 * _dir_bytes(full, "vectors")
 
 
+def test_sampled_training(spark, tmp_path):
+    """train_sample_mod=m: centroids come from the deterministic 1/m sample
+    (vec_id % m == 0) — the reference's RAM-sample training — while the fill
+    still assigns EVERY vector."""
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=2, train_sample_mod=5)
+    r = IvfIndexReader(spark, out)
+    assert r.params["train_sample_mod"] == 5
+    want = train_kmeans(emb.filter(F.col("vec_id") % 5 == 0), n_lists=8, iters=2)
+    assert np.array_equal(r.centroids, want)
+    assert r.assignments().count() == emb.count()  # fill covers the corpus
+    # an out-of-sample vector still finds itself under a full probe
+    row = emb.filter(F.col("vec_id") == 7).first()
+    top = r.topk([float(x) for x in row["embedding"]], k=3, nprobe=8).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cos"] == 1.0
+
+
 def test_sq8_sync_and_tune(spark, tmp_path):
     """Generations encode with the FIXED stored quantizer; tune sweeps on
     reconstructions (no embedding column needed)."""
