@@ -340,7 +340,14 @@ def build_ivf_index(
         else emb.filter(F.col(id_col) % train_sample_mod == 0)
     )
     n = emb.count()
+    if n == 0:
+        raise ValueError("build_ivf_index: empty corpus (no vectors to index)")
     n_train = n if train_sample_mod == 1 else train_emb.count()
+    if n_train == 0:
+        raise ValueError(
+            f"build_ivf_index: train sample vec_id % {train_sample_mod} == 0 "
+            "selected no vectors — lower train_sample_mod"
+        )
     if n_lists is None:
         n_lists = auto_n_lists(n)
     n_lists = max(1, min(n_lists, n_train))
@@ -417,6 +424,12 @@ def sync_ivf_index(
         )
     if src_tag in p["merged_srcs"]:
         return False  # replay of an already-committed batch
+    first = new_emb.select(vec_col).first()
+    if first is not None and len(first[0]) != int(p["dim"]):
+        raise ValueError(
+            f"sync_ivf_index: batch dimension {len(first[0])} != index "
+            f"dimension {p['dim']} — wrong embeddings table for this index"
+        )
     next_gen = int(p["next_gen"])
     vec_root = os.path.join(out_dir, "vectors")
     if os.path.exists(vec_root):

@@ -399,6 +399,35 @@ def test_cli_ivf_build_query(tmp_path):
     assert got2 and got2[0]["vec_id"] == 100 and got2[0]["cos"] == 1.0
 
 
+def test_build_and_sync_input_guards(spark, tmp_path):
+    """Opaque numpy shape errors become contract errors: an empty corpus (or
+    an empty train sample) refuses to build; a wrong-dimension batch refuses
+    to sync."""
+    import pytest
+
+    from abstracts_search_spark.operators.ivf import sync_ivf_index
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ivf_index(emb.limit(0), str(tmp_path / "e"), n_lists=4)
+    with pytest.raises(ValueError, match="selected no vectors"):
+        # ids 1..3 only: nothing satisfies vec_id % 1000 == 0
+        build_ivf_index(emb.filter(F.col("vec_id").between(1, 3)),
+                        str(tmp_path / "s"), n_lists=2, train_sample_mod=1000)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=4, iters=1)
+    bad = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension 2 != index dimension 64"):
+        sync_ivf_index(bad, out, src_tag="bad")
+    # the refused sync must not have consumed the tag or a generation
+    from abstracts_search_spark.operators.ivf import _read_ivf_params
+
+    p = _read_ivf_params(out)
+    assert "bad" not in p["merged_srcs"] and p["next_gen"] == 1
+
+
 def test_auto_n_lists_reference_geometry():
     assert auto_n_lists(10**8) == 65104  # ~the reference's 65,536 lists at 10^8
     assert auto_n_lists(1536 * 65536 * 2) == 65536  # clamped at the reference max
