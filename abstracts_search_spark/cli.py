@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     isn.add_argument("--index", required=True)
     isn.add_argument("--tag", required=True, help="batch content identity (idempotency key)")
 
+    ic = sub.add_parser("ivf-compact", help="fold all generations back into gen=0")
+    ic.add_argument("--index", required=True)
+
+    ac = sub.add_parser("ann-compact", help="fold all generations back into gen=0")
+    ac.add_argument("--index", required=True)
+
     it = sub.add_parser("ivf-tune", help="sweep nprobe, record recall@k in ivf_params.json")
     it.add_argument("--index", required=True)
     it.add_argument("-k", type=int, default=10)
@@ -215,6 +221,14 @@ def main(argv: list[str] | None = None) -> int:
             from abstracts_search_spark.operators.ivf import tune_ivf_index
 
             print(json.dumps(tune_ivf_index(spark, args.index, k=args.k)))
+        elif args.cmd == "ivf-compact":
+            from abstracts_search_spark.operators.ivf import compact_ivf_index
+
+            print(json.dumps({"folded_gens": compact_ivf_index(spark, args.index)}))
+        elif args.cmd == "ann-compact":
+            from abstracts_search_spark.operators.similarity import compact_ann_index
+
+            print(json.dumps({"folded_gens": compact_ann_index(spark, args.index)}))
         elif args.cmd == "ivf-query":
             from pyspark.sql import functions as F
 

@@ -13,11 +13,13 @@ from .dedup import connected_components, dedup_clusters
 from .ivf import (
     IvfIndexReader,
     build_ivf_index,
+    compact_ivf_index,
     ivf_index_topk,
     sync_ivf_index,
     train_kmeans,
     tune_ivf_index,
 )
+from .similarity import compact_ann_index
 from .phrase import phrase_matches
 from .similarity import ann_index_topk, ann_lsh_topk, build_ann_index, cosine_pairs_lsh, cosine_topk
 from .stats import corpus_stats, term_df
@@ -48,6 +50,8 @@ __all__ = [
     "build_ivf_index",
     "sync_ivf_index",
     "tune_ivf_index",
+    "compact_ivf_index",
+    "compact_ann_index",
     "ivf_index_topk",
     "IvfIndexReader",
     "lang_id",

@@ -650,6 +650,37 @@ class IvfIndexReader:
         )
 
 
+def compact_ivf_index(spark, out_dir: str) -> int:
+    """Fold all generations back into gen=0 — the vector-side analog of the
+    doc index's postings compaction: a long-lived index that syncs every
+    delivery accumulates one ``gen=N`` directory per batch, and every probe
+    pays the per-generation file listing. Compaction rewrites the vectors
+    table (same rows, same cells, payload unchanged) as a single generation
+    through the crash-atomic facade swap; centroids/quantizer are untouched
+    (they are fixed constants of the index). ``merged_srcs`` is RETAINED —
+    every folded batch is still merged, so its tag must keep no-opping on
+    replay — and only ``next_gen`` resets. Returns the generations folded."""
+    from ..sources.tables import commit, read_table
+
+    p = _read_ivf_params(out_dir)
+    if p.get("format") != IVF_INDEX_FORMAT:
+        raise ValueError(
+            f"IVF index at {out_dir} is format {p.get('format')} "
+            f"(current {IVF_INDEX_FORMAT}); rebuild with build_ivf_index"
+        )
+    n_gens = int(p["next_gen"])
+    if n_gens <= 1:
+        return 0  # single generation — nothing to fold
+    vectors = read_table(spark, out_dir, "vectors")
+    folded = vectors.withColumn("gen", F.lit(0).cast("int"))
+    commit(folded, out_dir, "vectors", partition_by=["gen", "lgroup"],
+           repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
+    p["next_gen"] = 1  # merged_srcs kept: folded batches must still no-op
+    with open(_ivf_params_path(out_dir), "w") as f:
+        json.dump(p, f)
+    return n_gens
+
+
 def ivf_index_topk(
     spark, out_dir: str, query_vec, k: int = 10, nprobe: int | None = None
 ) -> DataFrame:

@@ -483,6 +483,33 @@ def sync_ann_index(
     return True
 
 
+def compact_ann_index(spark, out_dir: str) -> int:
+    """Fold all generations back into gen=0 (same contract and rationale as
+    ivf.compact_ivf_index): rows and buckets unchanged, one generation of
+    directories afterwards, crash-atomic via the facade swap; planes stay
+    fixed. The window between the vectors swap and the params rewrite is
+    benign — old tags still no-op and a new sync appends past the stale
+    next_gen without touching gen=0. Returns the generations folded."""
+    from ..sources.tables import commit, read_table
+
+    p = _read_ann_params(out_dir)
+    if p.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"ANN index at {out_dir} is format {p.get('format')} "
+            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index"
+        )
+    n_gens = int(p["next_gen"])
+    if n_gens <= 1:
+        return 0
+    vectors = read_table(spark, out_dir, "vectors")
+    folded = vectors.withColumn("gen", F.lit(0).cast("int"))
+    commit(folded, out_dir, "vectors", partition_by=["gen", "bgroup"],
+           repartition_by=["bgroup"], sort_by=["bucket"], row_group_bytes=1 << 20)
+    p["next_gen"] = 1  # merged_srcs kept: folded batches must still no-op
+    _write_ann_params(out_dir, p)
+    return n_gens
+
+
 def ann_index_topk(
     spark,
     out_dir: str,

@@ -207,6 +207,63 @@ def test_sync_appends_generation(spark, tmp_path):
     assert counts == {0: 400, 1: 100, 2: 10}
 
 
+def test_compaction_folds_generations(spark, tmp_path):
+    """build + 2 syncs = 3 generations; compaction folds to ONE gen=0 with
+    identical rows/cells, probes return identical results, folded tags still
+    no-op on replay, and a fresh sync appends cleanly as gen=1."""
+    from abstracts_search_spark.operators.ivf import compact_ivf_index, sync_ivf_index
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), out, n_lists=8, iters=2)
+    sync_ivf_index(emb.filter(F.col("vec_id").between(300, 399)), out, src_tag="b2")
+    sync_ivf_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b3")
+    row = emb.filter(F.col("vec_id") == 450).first()
+    q = [float(x) for x in row["embedding"]]
+    before = [(r["vec_id"], r["cos"]) for r in IvfIndexReader(spark, out).topk(q, k=5).collect()]
+    asg_before = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in IvfIndexReader(spark, out).assignments().collect()
+    )
+
+    assert compact_ivf_index(spark, out) == 3
+    r2 = IvfIndexReader(spark, out)
+    gens = [x["gen"] for x in r2.vectors.select("gen").distinct().collect()]
+    assert gens == [0]
+    assert sorted((x["vec_id"], x["list_id"]) for x in r2.assignments().collect()) == asg_before
+    assert [(x["vec_id"], x["cos"]) for x in r2.topk(q, k=5).collect()] == before
+    # folded batches keep no-opping; a genuinely new batch lands as gen=1
+    assert sync_ivf_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b3") is False
+    assert compact_ivf_index(spark, out) == 0  # single gen: nothing to fold
+    assert sync_ivf_index(emb.limit(5), out, src_tag="b4") is True
+    # assignments() runs the staleness check, so the handle sees gen=1
+    # (raw r2.vectors would still be the pre-sync snapshot by design)
+    assert r2.assignments().count() == 505
+
+
+def test_ann_compaction(spark, tmp_path):
+    from abstracts_search_spark.operators.similarity import (
+        AnnIndexReader,
+        build_ann_index,
+        compact_ann_index,
+        sync_ann_index,
+    )
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ann")
+    build_ann_index(emb.filter(F.col("vec_id") < 400), out, n_planes=6)
+    sync_ann_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b2")
+    row = emb.filter(F.col("vec_id") == 470).first()
+    q = [float(x) for x in row["embedding"]]
+    before = [(r["vec_id"], r["cos"]) for r in AnnIndexReader(spark, out).topk(q, k=5).collect()]
+    assert compact_ann_index(spark, out) == 2
+    r = AnnIndexReader(spark, out)
+    assert [x["gen"] for x in r.vectors.select("gen").distinct().collect()] == [0]
+    assert r.vectors.count() == 500
+    assert [(x["vec_id"], x["cos"]) for x in r.topk(q, k=5).collect()] == before
+    assert sync_ann_index(emb.limit(1), out, src_tag="b2") is False  # tag kept
+
+
 def test_topk_many_equals_per_query(spark, tmp_path):
     emb = _emb(spark)
     out = str(tmp_path / "ivf")
