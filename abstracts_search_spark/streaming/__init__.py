@@ -1,3 +1,3 @@
-from .incremental import stream_build
+from .incremental import stream_build, stream_sync_vectors
 
-__all__ = ["stream_build"]
+__all__ = ["stream_build", "stream_sync_vectors"]

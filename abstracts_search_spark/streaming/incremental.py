@@ -181,3 +181,67 @@ def stream_build(
         merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs,
                     tokenizer=tokenizer)
     return {"batches": n_batches["n"]}
+
+
+def stream_sync_vectors(
+    spark: SparkSession,
+    embeddings_dir: str,
+    index_dir: str,
+    kind: str = "ivf",
+    checkpoint_dir: str | None = None,
+    schema: str = "vec_id long, embedding array<float>",
+) -> dict:
+    """Streaming vector ingest: drain all available embedding parquet files
+    from ``embeddings_dir`` into a persisted vector index (``kind`` =
+    "ivf" | "ann") — the vector-side twin of :func:`stream_build`.
+
+    Each micro-batch appends as the index's next generation through
+    sync_ivf_index / sync_ann_index with ``src_tag = "stream_epoch_<id>"``,
+    so foreachBatch's at-least-once delivery needs no extra bookkeeping: a
+    replayed epoch either no-ops (tag already in params) or scrubs its own
+    orphaned generation first (crash between the vectors append and the
+    params marker). The streaming checkpoint (file WAL) decides WHAT is new;
+    the sync tag decides whether the epoch already LANDED — the same
+    two-level contract as the doc path's checkpoint + lineage.
+
+    The index must already exist (build_ivf_index / build_ann_index trains
+    the constants — centroids/quantizer or planes — which streaming batches
+    never retrain). Rerunning after new files land processes only the new
+    files. Returns {"batches": n_appended}.
+    """
+    from ..operators.ivf import _ivf_params_path, sync_ivf_index
+    from ..operators.similarity import _ann_params_path, sync_ann_index
+
+    if kind == "ivf":
+        params_path, sync = _ivf_params_path(index_dir), sync_ivf_index
+    elif kind == "ann":
+        params_path, sync = _ann_params_path(index_dir), sync_ann_index
+    else:
+        raise ValueError(f"unknown vector index kind {kind!r}")
+    if not os.path.exists(params_path):
+        raise ValueError(
+            f"no {kind} index at {index_dir} — build it first "
+            f"(streaming syncs never train the index constants)"
+        )
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", embeddings_dir)
+        .parquet(embeddings_dir)
+    )
+    n_batches = {"n": 0}
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if sync(batch_df, index_dir, src_tag=f"stream_epoch_{int(epoch_id)}"):
+            n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"batches": n_batches["n"]}
