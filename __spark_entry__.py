@@ -289,37 +289,48 @@ def _q_ann_cosine(spark, sf_dir):
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_K)
 
 
-def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once / query-many for the persisted ANN index (mirrors
-    _doc_index_reader): the LSH-bucketed vectors table for `sf_dir` is built
-    into a persistent cache dir on first use (ann_params.json, written last,
-    is the completeness marker + format stamp); every subsequent query probes
-    it with bucket PARTITION pruning instead of re-bucketing the corpus."""
+def _cached_index_dir(
+    prefix: str, sf_dir: str, params_file: str, current_format: int, build
+) -> str:
+    """Shared build-once / query-many cache protocol for every persisted
+    vector index the driver queries use (mirrors _doc_index_reader): the
+    index for `sf_dir` is built into a persistent cache dir on first use;
+    its params json (written LAST by the builder) is the completeness
+    marker, and a format-stamp mismatch triggers a rebuild. One
+    implementation so the staleness dance cannot diverge per index kind."""
     import json
     import shutil
 
+    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    idx = os.path.join(_REPO, "data", "cache", f"{prefix}_{tag}")
+    params_path = os.path.join(idx, params_file)
+    stale = False
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stale = json.load(f).get("format") != current_format
+    if stale:
+        shutil.rmtree(idx, ignore_errors=True)
+    if not os.path.exists(params_path) or stale:
+        os.makedirs(idx, exist_ok=True)
+        build(idx)
+    return idx
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted LSH ANN index for sf_dir; queries probe it with bucket
+    PARTITION pruning instead of re-bucketing the corpus. n_planes pinned to
+    the oracle's 8-plane literals (_ann_lsh_sql); production callers omit
+    the pin (sized geometry: 16 planes = the reference's 65,536 lists at
+    10^8+ vectors)."""
     from abstracts_search_spark.operators.similarity import (
         ANN_INDEX_FORMAT,
         build_ann_index,
     )
 
-    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    idx = os.path.join(_REPO, "data", "cache", f"annindex_{tag}")
-    params_path = os.path.join(idx, "ann_params.json")
-    stale = False
-    if os.path.exists(params_path):
-        with open(params_path) as f:
-            stale = json.load(f).get("format") != ANN_INDEX_FORMAT
-    if stale:
-        shutil.rmtree(idx, ignore_errors=True)
-    if not os.path.exists(params_path) or stale:
-        os.makedirs(idx, exist_ok=True)
-        # n_planes pinned to the oracle's 8-plane literals (_ann_lsh_sql);
-        # auto_n_planes would pick the same order of magnitude at fixture
-        # scale, and production callers omit the pin (sized geometry: 16
-        # planes = the reference's 65,536 lists at 10^8+ vectors)
-        build_ann_index(_load(spark, sf_dir, "embeddings"), idx, n_planes=8)
-    return idx
+    return _cached_index_dir(
+        "annindex", sf_dir, "ann_params.json", ANN_INDEX_FORMAT,
+        lambda idx: build_ann_index(_load(spark, sf_dir, "embeddings"), idx, n_planes=8),
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -364,66 +375,31 @@ IVF_ITERS = 2
 IVF_NPROBE = 2
 
 
-def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once / query-many for the persisted k-means IVF index (the
-    trained twin of _ann_index_dir): centroids + list-partitioned vectors
-    land in a cache dir on first use; ivf_params.json (written last) is the
-    completeness marker + format stamp."""
-    import json
-    import shutil
-
-    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    idx = os.path.join(_REPO, "data", "cache", f"ivfindex_{tag}")
-    params_path = os.path.join(idx, "ivf_params.json")
-    stale = False
-    if os.path.exists(params_path):
-        with open(params_path) as f:
-            stale = json.load(f).get("format") != ivf.IVF_INDEX_FORMAT
-    if stale:
-        shutil.rmtree(idx, ignore_errors=True)
-    if not os.path.exists(params_path) or stale:
-        os.makedirs(idx, exist_ok=True)
-        ivf.build_ivf_index(
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, quantize: str = "none") -> str:
+    """Persisted k-means IVF index for sf_dir (the trained twin of
+    _ann_index_dir); ``quantize="sq8"`` selects the PQ32-analog coded
+    sibling under its own cache prefix. Geometry pinned to the oracle's
+    unrolled CTE chain (IVF_N_LISTS/IVF_ITERS)."""
+    prefix = "ivfsq8index" if quantize == "sq8" else "ivfindex"
+    return _cached_index_dir(
+        prefix, sf_dir, "ivf_params.json", ivf.IVF_INDEX_FORMAT,
+        lambda idx: ivf.build_ivf_index(
             _load(spark, sf_dir, "embeddings"), idx,
             n_lists=IVF_N_LISTS, iters=IVF_ITERS, nprobe=IVF_NPROBE,
-        )
-    return idx
+            quantize=quantize,
+        ),
+    )
 
 
 def _ivf_sq8_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Quantized sibling of _ivf_index_dir: same cells, SQ8-coded payload
-    (the PQ32-analog storage mode, operators/ivf.py)."""
-    import json
-    import shutil
-
-    tag = os.path.normpath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    idx = os.path.join(_REPO, "data", "cache", f"ivfsq8index_{tag}")
-    params_path = os.path.join(idx, "ivf_params.json")
-    stale = False
-    if os.path.exists(params_path):
-        with open(params_path) as f:
-            stale = json.load(f).get("format") != ivf.IVF_INDEX_FORMAT
-    if stale:
-        shutil.rmtree(idx, ignore_errors=True)
-    if not os.path.exists(params_path) or stale:
-        os.makedirs(idx, exist_ok=True)
-        ivf.build_ivf_index(
-            _load(spark, sf_dir, "embeddings"), idx,
-            n_lists=IVF_N_LISTS, iters=IVF_ITERS, nprobe=IVF_NPROBE,
-            quantize="sq8",
-        )
-    return idx
+    return _ivf_index_dir(spark, sf_dir, quantize="sq8")
 
 
 _IVF_READERS: dict[tuple[int, str], "ivf.IvfIndexReader"] = {}
 
 
 def _ivf_reader(spark: SparkSession, sf_dir: str, quantized: bool = False):
-    idx = (
-        _ivf_sq8_index_dir(spark, sf_dir)
-        if quantized
-        else _ivf_index_dir(spark, sf_dir)
-    )
+    idx = _ivf_index_dir(spark, sf_dir, quantize="sq8" if quantized else "none")
     key = (id(spark), idx)
     r = _IVF_READERS.get(key)
     if r is None or r.spark is not spark:

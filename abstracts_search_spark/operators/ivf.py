@@ -30,6 +30,15 @@ Cross-engine determinism contract (shared with the DuckDB oracle SQL in
   floating-point association);
 - a Lloyd update is ``round(Σ members / count, 6)`` per dimension; an empty
   list keeps its previous (already-rounded) centroid.
+
+Accepted residual: ``np.round`` is half-to-even while SQL ``round`` is
+half-away-from-zero, so a value whose float64 form lands EXACTLY on a
+6-decimal tie could round differently per engine (the same residual every
+round-6 oracle in this repo carries). Ties at the 6th decimal of irrational
+means/distances are measure-zero in the fixed test data — and because the
+data is deterministic, a divergence would be a stable oracle failure caught
+by the gate, never a flake. The SQ8 codec, where ties DO occur by
+construction (code boundaries), uses floor(x + 0.5) on both engines instead.
 """
 
 from __future__ import annotations
@@ -288,6 +297,16 @@ def _matrix_fn(quant: tuple[np.ndarray, np.ndarray] | None):
     return to_matrix
 
 
+def _load_centroids(spark, out_dir: str, params: dict) -> np.ndarray:
+    """centroids table -> dense (n_lists × dim) float64 matrix."""
+    from ..sources.tables import read_table
+
+    cents = np.zeros((params["n_lists"], params["dim"]), dtype=np.float64)
+    for r in read_table(spark, out_dir, "centroids").collect():
+        cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
+    return cents
+
+
 def _ivf_params_path(out_dir: str) -> str:
     return os.path.join(out_dir, "ivf_params.json")
 
@@ -413,7 +432,7 @@ def sync_ivf_index(
     generation was appended."""
     import shutil
 
-    from ..sources.tables import commit, read_table
+    from ..sources.tables import commit, heal_table
 
     p = _read_ivf_params(out_dir)
     if p.get("format") != IVF_INDEX_FORMAT:
@@ -425,12 +444,20 @@ def sync_ivf_index(
     if src_tag in p["merged_srcs"]:
         return False  # replay of an already-committed batch
     first = new_emb.select(vec_col).first()
-    if first is not None and len(first[0]) != int(p["dim"]):
+    if first is None:
+        # an empty batch must not consume the tag: a producer that wrote the
+        # delivery file before flushing rows would otherwise have its REAL
+        # data no-op forever when it arrives under the same content identity
+        return False
+    if len(first[0]) != int(p["dim"]):
         raise ValueError(
             f"sync_ivf_index: batch dimension {len(first[0])} != index "
             f"dimension {p['dim']} — wrong embeddings table for this index"
         )
     next_gen = int(p["next_gen"])
+    # heal BEFORE touching the directory: if a crashed overwrite left only
+    # vectors.__old, appending now would strand the entire old corpus
+    heal_table(out_dir, "vectors")
     vec_root = os.path.join(out_dir, "vectors")
     if os.path.exists(vec_root):
         for d in os.listdir(vec_root):
@@ -438,10 +465,7 @@ def sync_ivf_index(
                 shutil.rmtree(os.path.join(vec_root, d))
 
     spark = new_emb.sparkSession
-    crows = read_table(spark, out_dir, "centroids").collect()
-    cents = np.zeros((p["n_lists"], p["dim"]), dtype=np.float64)
-    for r in crows:
-        cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
+    cents = _load_centroids(spark, out_dir, p)
     quantize = p.get("quantize", "none")
     quant = None
     if quantize == "sq8":  # encode with the index's FIXED quantizer, no retrain
@@ -501,11 +525,7 @@ class IvfIndexReader:
                 f"{self.params.get('format')} (current {IVF_INDEX_FORMAT}); "
                 "rebuild with build_ivf_index"
             )
-        crows = read_table(self.spark, self.index_dir, "centroids").collect()
-        cents = np.zeros((self.params["n_lists"], self.params["dim"]), dtype=np.float64)
-        for r in crows:
-            cents[r["cl"]] = np.asarray(r["centroid"], dtype=np.float64)
-        self.centroids = cents
+        self.centroids = _load_centroids(self.spark, self.index_dir, self.params)
         self.vectors = read_table(self.spark, self.index_dir, "vectors")
         self.quant: tuple[np.ndarray, np.ndarray] | None = None
         if self.params.get("quantize", "none") == "sq8":
@@ -659,7 +679,16 @@ def compact_ivf_index(spark, out_dir: str) -> int:
     through the crash-atomic facade swap; centroids/quantizer are untouched
     (they are fixed constants of the index). ``merged_srcs`` is RETAINED —
     every folded batch is still merged, so its tag must keep no-opping on
-    replay — and only ``next_gen`` resets. Returns the generations folded."""
+    replay — and only ``next_gen`` resets. Returns the generations folded.
+
+    Concurrency contract: compaction is a MAINTENANCE operation under the
+    same single-writer assumption as the doc index's compact_index — the
+    swap replaces every vectors file, so a probe running concurrently from
+    an already-attached reader can hit FileNotFound mid-scan and must
+    re-open (the reader re-attaches on its next call once params change).
+    Crash-wise the window between the swap and the params rewrite is benign:
+    old tags still no-op and a new sync appends past the stale next_gen
+    without touching gen=0."""
     from ..sources.tables import commit, read_table
 
     p = _read_ivf_params(out_dir)
@@ -716,28 +745,26 @@ def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict
         pd.DataFrame({payload: [r[payload] for r in qrows]})
     )
     qvecs = {int(r["vec_id"]): [float(x) for x in qmat[i]] for i, r in enumerate(qrows)}
-    truth: dict[int, list[int]] = {}
     n_lists = int(p["n_lists"])
-    for qid, qv in qvecs.items():
-        truth[qid] = [
-            row["vec_id"]
-            for row in reader.topk(qv, k=k, nprobe=n_lists).collect()
-        ]
 
+    def _topk_sets(nprobe: int) -> dict[int, set[int]]:
+        # ONE topk_many job answers every sample query at this width
+        # (rank-identical to per-query topk, tested) — the sweep runs
+        # O(log n_lists) jobs total instead of n_queries × widths
+        out: dict[int, set[int]] = {qid: set() for qid in qvecs}
+        for row in reader.topk_many(qvecs, k=k, nprobe=nprobe).collect():
+            out[int(row["query_id"])].add(row["vec_id"])
+        return out
+
+    truth = _topk_sets(n_lists)  # full probe = exhaustive scan
     sweep: dict[str, float] = {}
     chosen = n_lists
     nprobe = 1
     while True:
         nprobe = min(nprobe, n_lists)
-        hits = total = 0
-        for qid, qv in qvecs.items():
-            got = {
-                row["vec_id"]
-                for row in reader.topk(qv, k=k, nprobe=nprobe).collect()
-            }
-            want = truth[qid]
-            hits += len(got & set(want))
-            total += len(want)
+        got = _topk_sets(nprobe)
+        hits = sum(len(got[qid] & truth[qid]) for qid in qvecs)
+        total = sum(len(truth[qid]) for qid in qvecs)
         recall = round(hits / total, 4) if total else 1.0
         sweep[str(nprobe)] = recall
         if recall >= 1.0 or nprobe >= n_lists:

@@ -459,10 +459,19 @@ def sync_ann_index(
         )
     if src_tag in p["merged_srcs"]:
         return False  # replay of an already-committed batch
+    if new_emb.select(vec_col).first() is None:
+        # an empty batch must not consume the tag (its real content may
+        # arrive later under the same identity) — same guard as ivf sync
+        return False
     next_gen = int(p["next_gen"])
-    # scrub generations past the marker (appended, then crashed before the
+    # heal a crashed overwrite's vectors.__old BEFORE touching the directory
+    # (an append would otherwise strand the entire old corpus), then scrub
+    # generations past the marker (appended, then crashed before the
     # params.json update) so reruns are idempotent — same contract as the
     # postings generation scrub in plans/build.merge_index
+    from ..sources.tables import heal_table
+
+    heal_table(out_dir, "vectors")
     vec_root = os.path.join(out_dir, "vectors")
     if os.path.exists(vec_root):
         for d in os.listdir(vec_root):
@@ -484,12 +493,15 @@ def sync_ann_index(
 
 
 def compact_ann_index(spark, out_dir: str) -> int:
-    """Fold all generations back into gen=0 (same contract and rationale as
-    ivf.compact_ivf_index): rows and buckets unchanged, one generation of
-    directories afterwards, crash-atomic via the facade swap; planes stay
-    fixed. The window between the vectors swap and the params rewrite is
-    benign — old tags still no-op and a new sync appends past the stale
-    next_gen without touching gen=0. Returns the generations folded."""
+    """Fold all generations back into gen=0 (same contract, rationale, and
+    single-writer/concurrency caveat as ivf.compact_ivf_index): rows and
+    buckets unchanged, one generation of directories afterwards,
+    crash-atomic via the facade swap; planes stay fixed. The crash window
+    between the vectors swap and the params rewrite is benign — old tags
+    still no-op and a new sync appends past the stale next_gen without
+    touching gen=0 — but a CONCURRENT probe from an already-attached reader
+    can hit FileNotFound mid-scan and must re-open. Returns the generations
+    folded."""
     from ..sources.tables import commit, read_table
 
     p = _read_ann_params(out_dir)

@@ -52,18 +52,29 @@ def _iceberg_table(root: str, name: str) -> str:
     return f"{cat}.{ns}.{name}"
 
 
+def heal_table(root: str, name: str) -> None:
+    """Roll back the one ambiguous crash window of the swap protocol: a
+    previous overwrite moved the live table aside (``<name>.__old``) and
+    died before renaming the new one in. ``read_table`` calls this on every
+    read; writers that touch a table's DIRECTORY without reading it first
+    (generation scrubs, appends) must call it themselves, or a post-crash
+    append would create a fresh table next to the stranded ``__old`` and the
+    rollback would never run again."""
+    if _backend() == "iceberg":
+        return
+    path = os.path.join(root, name)
+    old = path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read one index artifact table. Partition columns (bucket=…, src_part=…)
     are recovered from the directory layout via basePath."""
     if _backend() == "iceberg":
         return spark.read.table(_iceberg_table(root, name))
+    heal_table(root, name)
     path = os.path.join(root, name)
-    old = path + ".__old"
-    if not os.path.exists(path) and os.path.exists(old):
-        # the one ambiguous crash window of the swap protocol: the previous
-        # overwrite moved the live table aside and died before renaming the
-        # new one in — roll the old table back
-        os.rename(old, path)
     return spark.read.option("basePath", path).parquet(path)
 
 

@@ -196,13 +196,17 @@ def stream_sync_vectors(
     "ivf" | "ann") — the vector-side twin of :func:`stream_build`.
 
     Each micro-batch appends as the index's next generation through
-    sync_ivf_index / sync_ann_index with ``src_tag = "stream_epoch_<id>"``,
-    so foreachBatch's at-least-once delivery needs no extra bookkeeping: a
-    replayed epoch either no-ops (tag already in params) or scrubs its own
-    orphaned generation first (crash between the vectors append and the
-    params marker). The streaming checkpoint (file WAL) decides WHAT is new;
-    the sync tag decides whether the epoch already LANDED — the same
-    two-level contract as the doc path's checkpoint + lineage.
+    sync_ivf_index / sync_ann_index with a CONTENT-derived ``src_tag`` (the
+    hash of the batch's distinct input-file set — NOT the epoch counter,
+    which restarts at 0 per checkpoint location and would collide tags
+    across two streams into one index, or after a lost checkpoint, silently
+    dropping batches). foreachBatch's at-least-once delivery then needs no
+    extra bookkeeping: a replayed batch either no-ops (tag already in
+    params) or scrubs its own orphaned generation first (crash between the
+    vectors append and the params marker). The streaming checkpoint (file
+    WAL) decides WHAT is new; the sync tag decides whether that content
+    already LANDED — the same two-level contract as the doc path's
+    checkpoint + lineage.
 
     The index must already exist (build_ivf_index / build_ann_index trains
     the constants — centroids/quantizer or planes — which streaming batches
@@ -232,9 +236,17 @@ def stream_sync_vectors(
     n_batches = {"n": 0}
 
     def process_batch(batch_df, epoch_id: int) -> None:
+        import hashlib
+
+        from pyspark.sql import functions as F
+
         if batch_df.isEmpty():
             return
-        if sync(batch_df, index_dir, src_tag=f"stream_epoch_{int(epoch_id)}"):
+        files = sorted(
+            r[0] for r in batch_df.select(F.input_file_name()).distinct().collect()
+        )
+        tag = "stream_" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+        if sync(batch_df, index_dir, src_tag=tag):
             n_batches["n"] += 1
 
     q = (

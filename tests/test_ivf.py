@@ -456,6 +456,49 @@ def test_cli_ivf_build_query(tmp_path):
     assert got2 and got2[0]["vec_id"] == 100 and got2[0]["cos"] == 1.0
 
 
+def test_empty_batch_does_not_consume_tag(spark, tmp_path):
+    """A zero-row delivery must be a no-op (not a tag burn): the real data
+    arriving later under the same content identity has to land."""
+    from abstracts_search_spark.operators.ivf import _read_ivf_params, sync_ivf_index
+    from abstracts_search_spark.operators.similarity import (
+        _read_ann_params,
+        build_ann_index,
+        sync_ann_index,
+    )
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 400), out, n_lists=4, iters=1)
+    late = emb.filter(F.col("vec_id") >= 400)
+    assert sync_ivf_index(late.limit(0), out, src_tag="d7") is False
+    p = _read_ivf_params(out)
+    assert "d7" not in p["merged_srcs"] and p["next_gen"] == 1
+    assert sync_ivf_index(late, out, src_tag="d7") is True  # real data lands
+
+    aout = str(tmp_path / "ann")
+    build_ann_index(emb.filter(F.col("vec_id") < 400), aout, n_planes=4)
+    assert sync_ann_index(late.limit(0), aout, src_tag="d7") is False
+    assert "d7" not in _read_ann_params(aout)["merged_srcs"]
+    assert sync_ann_index(late, aout, src_tag="d7") is True
+
+
+def test_sync_heals_crashed_overwrite(spark, tmp_path):
+    """Crash window of a compaction/rebuild swap: only vectors.__old exists.
+    A sync must roll the old table back BEFORE appending — otherwise the
+    fresh append creates a new 'vectors' and the entire old corpus is
+    stranded in __old forever."""
+    from abstracts_search_spark.operators.ivf import sync_ivf_index
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 400), out, n_lists=4, iters=1)
+    os.rename(os.path.join(out, "vectors"), os.path.join(out, "vectors.__old"))
+    assert sync_ivf_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b2")
+    r = IvfIndexReader(spark, out)
+    assert r.assignments().count() == 500  # old corpus healed + new gen
+    assert not os.path.exists(os.path.join(out, "vectors.__old"))
+
+
 def test_build_and_sync_input_guards(spark, tmp_path):
     """Opaque numpy shape errors become contract errors: an empty corpus (or
     an empty train sample) refuses to build; a wrong-dimension batch refuses

@@ -86,6 +86,30 @@ def test_stream_sync_ann(spark, tmp_path):
     assert top[0]["vec_id"] == 60 and top[0]["cos"] == 1.0
 
 
+def test_two_streams_one_index_no_tag_collision(spark, tmp_path):
+    """Two delivery directories (two independent checkpoints) feed ONE
+    index: per-checkpoint epoch counters both start at 0, so an epoch-based
+    tag would collide and silently drop the second stream's first batch.
+    Content-derived tags (file-set hash) keep both."""
+    base = str(tmp_path / "base.parquet")
+    _write_emb(base, range(40), seed=7)
+    ix = str(tmp_path / "ivf")
+    build_ivf_index(spark.read.parquet(base), ix, n_lists=4, iters=1)
+
+    d_a = str(tmp_path / "incoming_a")
+    d_b = str(tmp_path / "incoming_b")
+    os.makedirs(d_a)
+    os.makedirs(d_b)
+    _write_emb(os.path.join(d_a, "a1.parquet"), range(40, 70), seed=8)
+    _write_emb(os.path.join(d_b, "b1.parquet"), range(70, 100), seed=9)
+    out_a = stream_sync_vectors(spark, d_a, ix, kind="ivf",
+                                checkpoint_dir=str(tmp_path / "cp_a"))
+    out_b = stream_sync_vectors(spark, d_b, ix, kind="ivf",
+                                checkpoint_dir=str(tmp_path / "cp_b"))
+    assert out_a["batches"] == 1 and out_b["batches"] == 1
+    assert IvfIndexReader(spark, ix).assignments().count() == 100
+
+
 def test_stream_sync_requires_built_index(spark, tmp_path):
     deliveries = str(tmp_path / "incoming")
     os.makedirs(deliveries)
