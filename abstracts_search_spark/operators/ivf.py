@@ -744,7 +744,9 @@ def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict
     qmat = _matrix_fn(reader.quant)(
         pd.DataFrame({payload: [r[payload] for r in qrows]})
     )
-    qvecs = {int(r["vec_id"]): [float(x) for x in qmat[i]] for i, r in enumerate(qrows)}
+    # positional query ids (0..n-1), NOT raw vec_ids: topk_many's query_id
+    # column is int32 and production vec_ids can exceed it
+    qvecs = {i: [float(x) for x in qmat[i]] for i in range(len(qrows))}
     n_lists = int(p["n_lists"])
 
     def _topk_sets(nprobe: int) -> dict[int, set[int]]:
