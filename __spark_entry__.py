@@ -380,7 +380,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str, quantize: str = "none") -> 
     _ann_index_dir); ``quantize="sq8"`` selects the PQ32-analog coded
     sibling under its own cache prefix. Geometry pinned to the oracle's
     unrolled CTE chain (IVF_N_LISTS/IVF_ITERS)."""
-    prefix = "ivfsq8index" if quantize == "sq8" else "ivfindex"
+    prefix = {"none": "ivfindex", "sq8": "ivfsq8index", "sq8r": "ivfsq8rindex"}[quantize]
     return _cached_index_dir(
         prefix, sf_dir, "ivf_params.json", ivf.IVF_INDEX_FORMAT,
         lambda idx: ivf.build_ivf_index(
@@ -398,8 +398,8 @@ def _ivf_sq8_index_dir(spark: SparkSession, sf_dir: str) -> str:
 _IVF_READERS: dict[tuple[int, str], "ivf.IvfIndexReader"] = {}
 
 
-def _ivf_reader(spark: SparkSession, sf_dir: str, quantized: bool = False):
-    idx = _ivf_index_dir(spark, sf_dir, quantize="sq8" if quantized else "none")
+def _ivf_reader(spark: SparkSession, sf_dir: str, quantize: str = "none"):
+    idx = _ivf_index_dir(spark, sf_dir, quantize=quantize)
     key = (id(spark), idx)
     r = _IVF_READERS.get(key)
     if r is None or r.spark is not spark:
@@ -440,7 +440,16 @@ def _q_ivf_topk_sq8(spark, sf_dir):
     # vs decoded reconstructions — so results differ from ivf_topk exactly
     # where quantization error moves a cosine; the oracle recomputes the
     # identical quantizer (corpus per-dim min/max) and decode in SQL
-    return _ivf_reader(spark, sf_dir, quantized=True).topk(
+    return _ivf_reader(spark, sf_dir, quantize="sq8").topk(
+        _query_vec(spark, sf_dir), k=ANN_K, nprobe=IVF_NPROBE
+    )
+
+
+def _q_ivf_topk_sq8r(spark, sf_dir):
+    # residual-coded IVF probe (the true FAISS IVF-PQ shape: codes quantize
+    # x − centroid[cell], reconstruction adds the centroid back) — same
+    # asymmetric scoring, same exact SQL oracle with residual-derived bounds
+    return _ivf_reader(spark, sf_dir, quantize="sq8r").topk(
         _query_vec(spark, sf_dir), k=ANN_K, nprobe=IVF_NPROBE
     )
 
@@ -527,6 +536,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_many": _q_ivf_topk_many,
         "ivf_topk_sq8": _q_ivf_topk_sq8,
+        "ivf_topk_sq8r": _q_ivf_topk_sq8r,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "lang_id": _q_lang_id,
@@ -779,6 +789,45 @@ dq AS (
               ORDER BY u.idx) AS eq
   FROM u JOIN sc USING (idx)
   GROUP BY u.vec_id
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT c.cl, {_d2_sql('q.qv', 'c.e')} AS d FROM {cf} c CROSS JOIN q),
+probe AS (SELECT cl FROM qd ORDER BY d, cl LIMIT {nprobe}),
+cand AS (SELECT d.vec_id, d.eq FROM {fa} a JOIN probe USING (cl) JOIN dq d USING (vec_id)),
+s AS (
+  SELECT vec_id,
+         round(list_dot_product(eq, q.qv)
+               / (sqrt(list_dot_product(eq, eq)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+def _ivf_topk_sq8r_sql(nprobe: int = IVF_NPROBE, k: int = ANN_K) -> str:
+    """Residual-SQ8 oracle: the quantizer bounds are the per-dim (min, max)
+    of the assignment residuals x − centroid[cl] (SQL-derivable from the
+    kmeans CTEs), a candidate reconstructs as centroid + decode(encode(r)),
+    and scoring stays asymmetric vs the raw query — mirrors
+    operators/ivf quantize="sq8r" exactly (same float64 association:
+    ce + (lo + code·s))."""
+    ctes, cf, fa = _kmeans_ctes()
+    return f"""
+WITH {ctes},
+ru AS (
+  SELECT v.vec_id, unnest(v.e) AS x, unnest(c.e) AS ce, generate_subscripts(v.e, 1) AS idx
+  FROM v JOIN {fa} a USING (vec_id) JOIN {cf} c USING (cl)
+),
+sc AS (
+  SELECT idx, min(x - ce) AS lo, (max(x - ce) - min(x - ce)) / 255.0 AS s
+  FROM ru GROUP BY idx
+),
+dq AS (
+  SELECT ru.vec_id,
+         list(ru.ce + (sc.lo + least(greatest(floor(CASE WHEN sc.s > 0 THEN ((ru.x - ru.ce) - sc.lo) / sc.s + 0.5 ELSE 0.5 END), 0.0), 255.0) * sc.s)
+              ORDER BY ru.idx) AS eq
+  FROM ru JOIN sc USING (idx)
+  GROUP BY ru.vec_id
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 qd AS (SELECT c.cl, {_d2_sql('q.qv', 'c.e')} AS d FROM {cf} c CROSS JOIN q),
@@ -1058,6 +1107,7 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT {ANN_K}
         "ivf_topk": _ivf_topk_sql(),
         "ivf_topk_many": _ivf_topk_many_sql(),
         "ivf_topk_sq8": _ivf_topk_sq8_sql(),
+        "ivf_topk_sq8r": _ivf_topk_sq8r_sql(),
         "embedding_dup_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 p AS (

@@ -89,8 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="inverted-list count (default: auto-sized to the corpus)")
     ib.add_argument("--iters", type=int, default=2, help="Lloyd iterations")
     ib.add_argument("--nprobe", type=int, default=2, help="default probe width")
-    ib.add_argument("--quantize", choices=["none", "sq8"], default="none",
-                    help="sq8 stores vectors as uint8 codes (4x smaller than float32)")
+    ib.add_argument("--quantize", choices=["none", "sq8", "sq8r"], default="none",
+                    help="sq8 stores vectors as uint8 codes (4x smaller than "
+                         "float32); sq8r codes the residual vs the cell centroid "
+                         "(tighter range, the FAISS IVF-PQ shape)")
     ib.add_argument("--train-sample-mod", type=int, default=1,
                     help="train centroids on the 1/m sample vec_id %% m == 0")
 

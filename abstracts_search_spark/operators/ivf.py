@@ -185,12 +185,15 @@ def _assign_fn(
     vec_col: str,
     n_groups: int,
     gen: int,
-    quant: tuple[np.ndarray, np.ndarray] | None = None,
+    quant: tuple[np.ndarray, np.ndarray, bool] | None = None,
 ):
     """Fill-stage mapInPandas: assignment always runs on the RAW vector (the
     coarse quantizer sees full precision, as in FAISS ADC); with ``quant``
     set, the stored payload is the uint8 SQ8 code bytes instead of the
-    vector — a 4× storage shrink for float32 inputs."""
+    vector — a 4× storage shrink for float32 inputs. ``quant[2]`` selects
+    RESIDUAL coding (codes quantize x − centroid[cell], the true FAISS
+    IVF-PQ shape — residuals have a tighter range than raw coordinates, so
+    the same 256 levels land closer)."""
     from typing import Iterator
 
     import pandas as pd
@@ -212,17 +215,55 @@ def _assign_fn(
             if quant is None:
                 out["embedding"] = list(pdf[vec_col])
             else:
-                codes = sq8_encode(m, quant[0], quant[1])
+                qmin, qscale, residual = quant
+                base = m - cents[cl] if residual else m
+                codes = sq8_encode(base, qmin, qscale)
                 out["codes"] = [row.tobytes() for row in codes]
             yield pd.DataFrame(out)
 
     return assign
 
 
+QUANT_MODES = ("none", "sq8", "sq8r")
+
+
 def _payload_schema(p_or_vec_type, quantize: str) -> str:
-    if quantize == "sq8":
+    if quantize in ("sq8", "sq8r"):
         return "codes binary"
     return f"embedding {p_or_vec_type}"
+
+
+def residual_min_max(
+    emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) of the assignment residuals x − centroid[cl]
+    — the sq8r quantizer's training step (same exact/order-independent
+    properties as corpus_min_max)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo = hi = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            r = m - cents[assign_ids(m, cents)]
+            blo, bhi = r.min(axis=0), r.max(axis=0)
+            lo = blo if lo is None else np.minimum(lo, blo)
+            hi = bhi if hi is None else np.maximum(hi, bhi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo], "hi": [hi]})
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema="lo array<double>, hi array<double>")
+        .collect()
+    )
+    lo = np.min(np.stack([np.asarray(r["lo"]) for r in rows]), axis=0)
+    hi = np.max(np.stack([np.asarray(r["hi"]) for r in rows]), axis=0)
+    return lo, hi
 
 
 def corpus_min_max(
@@ -275,10 +316,15 @@ def sq8_decode(codes: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.nd
     return qmin + codes.astype(np.float64) * qscale
 
 
-def _matrix_fn(quant: tuple[np.ndarray, np.ndarray] | None):
+def _matrix_fn(
+    quant: tuple[np.ndarray, np.ndarray, bool] | None,
+    cents: np.ndarray | None = None,
+):
     """Candidate batch -> float64 matrix: raw vectors widened, or SQ8 codes
     reconstructed (x̂ = qmin + code·qscale — asymmetric scoring: the query
-    stays full-precision, as in FAISS ADC). Standalone closure (only numpy
+    stays full-precision, as in FAISS ADC); residual mode (sq8r) adds the
+    row's cell centroid back (x̂ = centroid[list] + decode(codes), so the
+    batch must carry the ``list`` column). Standalone closure (only numpy
     arrays captured), so scoring UDFs never pickle a reader/session."""
     if quant is None:
         def to_matrix(pdf) -> np.ndarray:
@@ -286,13 +332,18 @@ def _matrix_fn(quant: tuple[np.ndarray, np.ndarray] | None):
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
     else:
-        qmin, qscale = quant
+        qmin, qscale, residual = quant
+        if residual and cents is None:
+            raise ValueError("residual decode requires the centroid matrix")
 
         def to_matrix(pdf) -> np.ndarray:
             codes = np.stack(
                 [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
             )
-            return sq8_decode(codes, qmin, qscale)
+            dec = sq8_decode(codes, qmin, qscale)
+            if residual:
+                dec = cents[pdf["list"].to_numpy()] + dec
+            return dec
 
     return to_matrix
 
@@ -350,8 +401,8 @@ def build_ivf_index(
     engine-portable (plain modulo), so a sampled index stays oracle-able."""
     from ..sources.tables import commit
 
-    if quantize not in ("none", "sq8"):
-        raise ValueError(f"unknown quantize mode {quantize!r}")
+    if quantize not in QUANT_MODES:
+        raise ValueError(f"unknown quantize mode {quantize!r} (one of {QUANT_MODES})")
     if train_sample_mod < 1:
         raise ValueError("train_sample_mod must be >= 1")
     train_emb = (
@@ -376,10 +427,13 @@ def build_ivf_index(
     vec_type = emb.schema[vec_col].dataType.simpleString()
     quant = None
     qmin = qscale = None
-    if quantize == "sq8":
-        lo, hi = corpus_min_max(train_emb, vec_col)
+    if quantize in ("sq8", "sq8r"):
+        if quantize == "sq8":
+            lo, hi = corpus_min_max(train_emb, vec_col)
+        else:  # sq8r: bounds of the assignment residuals (FAISS IVF-PQ shape)
+            lo, hi = residual_min_max(train_emb, cents, vec_col)
         qmin, qscale = lo, (hi - lo) / 255.0
-        quant = (qmin, qscale)
+        quant = (qmin, qscale, quantize == "sq8r")
     assigned = emb.select(id_col, vec_col).mapInPandas(
         _assign_fn(cents, id_col, vec_col, n_groups, gen=0, quant=quant),
         schema=f"vec_id long, {_payload_schema(vec_type, quantize)}, list int, lgroup int, gen int",
@@ -407,7 +461,7 @@ def build_ivf_index(
         "merged_srcs": ["__initial__"],
         "next_gen": 1,
     }
-    if quantize == "sq8":
+    if quantize in ("sq8", "sq8r"):
         params["sq8_min"] = [float(x) for x in qmin]
         params["sq8_scale"] = [float(x) for x in qscale]
     with open(_ivf_params_path(out_dir), "w") as f:
@@ -468,10 +522,11 @@ def sync_ivf_index(
     cents = _load_centroids(spark, out_dir, p)
     quantize = p.get("quantize", "none")
     quant = None
-    if quantize == "sq8":  # encode with the index's FIXED quantizer, no retrain
+    if quantize in ("sq8", "sq8r"):  # index's FIXED quantizer, no retrain
         quant = (
             np.asarray(p["sq8_min"], dtype=np.float64),
             np.asarray(p["sq8_scale"], dtype=np.float64),
+            quantize == "sq8r",
         )
     assigned = new_emb.select(id_col, vec_col).mapInPandas(
         _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen, quant=quant),
@@ -527,11 +582,13 @@ class IvfIndexReader:
             )
         self.centroids = _load_centroids(self.spark, self.index_dir, self.params)
         self.vectors = read_table(self.spark, self.index_dir, "vectors")
-        self.quant: tuple[np.ndarray, np.ndarray] | None = None
-        if self.params.get("quantize", "none") == "sq8":
+        self.quant: tuple[np.ndarray, np.ndarray, bool] | None = None
+        qmode = self.params.get("quantize", "none")
+        if qmode in ("sq8", "sq8r"):
             self.quant = (
                 np.asarray(self.params["sq8_min"], dtype=np.float64),
                 np.asarray(self.params["sq8_scale"], dtype=np.float64),
+                qmode == "sq8r",
             )
 
     def _payload_col(self) -> str:
@@ -570,7 +627,7 @@ class IvfIndexReader:
 
         qv = np.asarray(query_vec, dtype=np.float64)
         qnorm = float(np.linalg.norm(qv))
-        to_matrix = _matrix_fn(self.quant)
+        to_matrix = _matrix_fn(self.quant, self.centroids)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -582,7 +639,7 @@ class IvfIndexReader:
                     {"vec_id": pdf["vec_id"].to_numpy(), "cos": np.round(cos, 6)}
                 )
 
-        scored = cand.select("vec_id", self._payload_col()).mapInPandas(
+        scored = cand.select("vec_id", "list", self._payload_col()).mapInPandas(
             score, schema="vec_id long, cos double"
         )
         return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -635,7 +692,7 @@ class IvfIndexReader:
         qnorm = np.linalg.norm(qmat, axis=1)
         qid_arr = np.asarray(qids, dtype=np.int64)
         by_list_arr = {c: np.asarray(qs, dtype=np.int64) for c, qs in by_list.items()}
-        to_matrix = _matrix_fn(self.quant)
+        to_matrix = _matrix_fn(self.quant, self.centroids)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -736,13 +793,15 @@ def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict
     p = reader.params
     payload = reader._payload_col()
     qrows = (
-        reader.vectors.select("vec_id", payload)
+        reader.vectors.select("vec_id", "list", payload)
         .orderBy("vec_id")
         .limit(n_queries)
         .collect()
     )
-    qmat = _matrix_fn(reader.quant)(
-        pd.DataFrame({payload: [r[payload] for r in qrows]})
+    qmat = _matrix_fn(reader.quant, reader.centroids)(
+        pd.DataFrame(
+            {payload: [r[payload] for r in qrows], "list": [r["list"] for r in qrows]}
+        )
     )
     # positional query ids (0..n-1), NOT raw vec_ids: topk_many's query_id
     # column is int32 and production vec_ids can exceed it

@@ -325,7 +325,8 @@ def test_sq8_reconstruction_and_storage(spark, tmp_path):
 
     r = IvfIndexReader(spark, q8)
     assert r.params["quantize"] == "sq8" and r.quant is not None
-    qmin, qscale = r.quant
+    qmin, qscale, residual = r.quant
+    assert residual is False
     # codec roundtrip sanity on the real corpus matrix
     ids, m = _mat(spark)
     codes = sq8_encode(m, qmin, qscale)
@@ -369,6 +370,61 @@ def test_sampled_training(spark, tmp_path):
     row = emb.filter(F.col("vec_id") == 7).first()
     top = r.topk([float(x) for x in row["embedding"]], k=3, nprobe=8).collect()
     assert top[0]["vec_id"] == 7 and top[0]["cos"] == 1.0
+
+
+def test_sq8r_residual_coding(spark, tmp_path):
+    """sq8r codes the residual x − centroid[cell] (FAISS IVF-PQ shape):
+    reconstruction adds the centroid back; full-probe results equal a numpy
+    reference computing the identical pipeline; sync encodes new batches
+    with the stored residual quantizer."""
+    from abstracts_search_spark.operators.ivf import (
+        _read_ivf_params,
+        assign_ids,
+        sq8_decode,
+        sq8_encode,
+        sync_ivf_index,
+        train_kmeans,
+    )
+
+    emb = _emb(spark)
+    out = str(tmp_path / "sq8r")
+    build_ivf_index(emb, out, n_lists=8, iters=1, quantize="sq8r")
+    p = _read_ivf_params(out)
+    assert p["quantize"] == "sq8r"
+
+    ids, m = _mat(spark)
+    order = np.argsort(ids)
+    ids_s, m_s = ids[order], m[order]
+    cents = train_kmeans(emb, n_lists=8, iters=1)
+    cl = assign_ids(m_s, cents)
+    res = m_s - cents[cl]
+    qmin = np.asarray(p["sq8_min"])
+    qscale = np.asarray(p["sq8_scale"])
+    # stored quantizer bounds == residual min/max (exact, order-independent)
+    assert np.array_equal(qmin, res.min(axis=0))
+    recon = cents[cl] + sq8_decode(sq8_encode(res, qmin, qscale), qmin, qscale)
+
+    row = emb.filter(F.col("vec_id") == 5).first()
+    qv = np.asarray([float(x) for x in row["embedding"]])
+    r = IvfIndexReader(spark, out)
+    got = [(x["vec_id"], x["cos"]) for x in r.topk(list(qv), k=5, nprobe=8).collect()]
+    cos = np.round((recon @ qv) / (np.linalg.norm(recon, axis=1) * np.linalg.norm(qv)), 6)
+    want_idx = np.lexsort((ids_s, -cos))[:5]
+    assert got == [(int(ids_s[i]), float(cos[i])) for i in want_idx]
+    assert got[0][0] == 5  # self still wins through residual codes
+
+    # sync uses the FIXED residual quantizer and the probe sees the new gen
+    extra = spark.createDataFrame(
+        [(1000, [float(x) for x in qv])], "vec_id long, embedding array<double>"
+    )
+    assert sync_ivf_index(extra, out, src_tag="b2") is True
+    top = r.topk(list(qv), k=2, nprobe=8).collect()
+    assert {t["vec_id"] for t in top} == {5, 1000}  # identical vectors tie region
+    # tune sweeps on reconstructions in residual mode too
+    from abstracts_search_spark.operators.ivf import tune_ivf_index
+
+    tp = tune_ivf_index(spark, out, n_queries=2, k=3)
+    assert tp["tune_recall_at_k"]["sweep"][str(tp["nprobe"])] == 1.0
 
 
 def test_sq8_sync_and_tune(spark, tmp_path):
