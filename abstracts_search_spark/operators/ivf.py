@@ -45,16 +45,19 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # bumped when the persisted IVF artifact layout or training math changes
-# (3: optional SQ8 scalar quantization — vectors stored as uint8 codes;
+# (4: sq8r residual-coded payload (a format-3 reader would mis-read an sq8r
+#  index as unquantized — the stamp exists to refuse that cleanly);
+#  3: optional SQ8 scalar quantization — vectors stored as uint8 codes;
 #  2: generation partitioning — incremental fills append as gen=N under the
 #  same trained centroids, mirroring the ANN index's gen-stacked layout)
-IVF_INDEX_FORMAT = 3
+IVF_INDEX_FORMAT = 4
 
 # directory fan-out bound (same rationale as similarity.ANN_GROUP_BITS)
 IVF_MAX_GROUPS = 256
@@ -237,8 +240,18 @@ def residual_min_max(
     emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (min, max) of the assignment residuals x − centroid[cl]
-    — the sq8r quantizer's training step (same exact/order-independent
-    properties as corpus_min_max)."""
+    — the sq8r quantizer's training step."""
+    return _min_max_pass(emb, vec_col, lambda m: m - cents[assign_ids(m, cents)])
+
+
+def _min_max_pass(
+    emb: DataFrame, vec_col: str, transform
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) of ``transform(matrix)`` over the corpus:
+    one mapInPandas pass emitting one partial row per partition, driver
+    reduce over ≤partitions rows. Exact and order-independent (min/max have
+    no floating-point summation-order issues), so both engines derive
+    identical quantizer constants."""
     from typing import Iterator
 
     import pandas as pd
@@ -248,9 +261,10 @@ def residual_min_max(
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            r = m - cents[assign_ids(m, cents)]
-            blo, bhi = r.min(axis=0), r.max(axis=0)
+            m = transform(
+                np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            )
+            blo, bhi = m.min(axis=0), m.max(axis=0)
             lo = blo if lo is None else np.minimum(lo, blo)
             hi = bhi if hi is None else np.maximum(hi, bhi)
         if lo is not None:
@@ -269,35 +283,9 @@ def residual_min_max(
 def corpus_min_max(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-dimension (min, max) over the corpus — the SQ8 quantizer's
-    training step. Exact and order-independent (min/max have no
-    floating-point summation-order issues), so both engines derive identical
-    quantizer constants. One mapInPandas pass emitting one partial row per
-    partition; ≤partitions rows reach the driver."""
-    from typing import Iterator
-
-    import pandas as pd
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lo = hi = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            blo, bhi = m.min(axis=0), m.max(axis=0)
-            lo = blo if lo is None else np.minimum(lo, blo)
-            hi = bhi if hi is None else np.maximum(hi, bhi)
-        if lo is not None:
-            yield pd.DataFrame({"lo": [lo], "hi": [hi]})
-
-    rows = (
-        emb.select(vec_col)
-        .mapInPandas(partials, schema="lo array<double>, hi array<double>")
-        .collect()
-    )
-    lo = np.min(np.stack([np.asarray(r["lo"]) for r in rows]), axis=0)
-    hi = np.max(np.stack([np.asarray(r["hi"]) for r in rows]), axis=0)
-    return lo, hi
+    """Per-dimension (min, max) over the raw corpus — the SQ8 quantizer's
+    training step."""
+    return _min_max_pass(emb, vec_col, lambda m: m)
 
 
 def sq8_encode(m: np.ndarray, qmin: np.ndarray, qscale: np.ndarray) -> np.ndarray:
@@ -346,6 +334,23 @@ def _matrix_fn(
             return dec
 
     return to_matrix
+
+
+def _scrub_orphan_generations(out_dir: str, next_gen: int) -> None:
+    """Remove generation dirs at/past the params marker — output of a sync
+    that crashed before its params rewrite. Shared by sync (before
+    re-appending) and compact (an orphan folded into gen=0 would become a
+    permanent untracked batch whose replay then DUPLICATES every row)."""
+    import shutil
+
+    from ..sources.tables import heal_table
+
+    heal_table(out_dir, "vectors")
+    vec_root = os.path.join(out_dir, "vectors")
+    if os.path.exists(vec_root):
+        for d in os.listdir(vec_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
+                shutil.rmtree(os.path.join(vec_root, d))
 
 
 def _load_centroids(spark, out_dir: str, params: dict) -> np.ndarray:
@@ -460,6 +465,7 @@ def build_ivf_index(
         "train_sample_mod": int(train_sample_mod),
         "merged_srcs": ["__initial__"],
         "next_gen": 1,
+        "build_id": uuid.uuid4().hex,
     }
     if quantize in ("sq8", "sq8r"):
         params["sq8_min"] = [float(x) for x in qmin]
@@ -484,9 +490,7 @@ def sync_ivf_index(
     past the marker (appended, then crashed before the params update) are
     scrubbed before re-appending, so replays converge. Returns True if a
     generation was appended."""
-    import shutil
-
-    from ..sources.tables import commit, heal_table
+    from ..sources.tables import commit
 
     p = _read_ivf_params(out_dir)
     if p.get("format") != IVF_INDEX_FORMAT:
@@ -503,20 +507,19 @@ def sync_ivf_index(
         # delivery file before flushing rows would otherwise have its REAL
         # data no-op forever when it arrives under the same content identity
         return False
+    if first[0] is None:
+        raise ValueError(
+            f"sync_ivf_index: batch has a NULL {vec_col} — clean the "
+            "delivery before syncing"
+        )
     if len(first[0]) != int(p["dim"]):
         raise ValueError(
             f"sync_ivf_index: batch dimension {len(first[0])} != index "
             f"dimension {p['dim']} — wrong embeddings table for this index"
         )
     next_gen = int(p["next_gen"])
-    # heal BEFORE touching the directory: if a crashed overwrite left only
-    # vectors.__old, appending now would strand the entire old corpus
-    heal_table(out_dir, "vectors")
-    vec_root = os.path.join(out_dir, "vectors")
-    if os.path.exists(vec_root):
-        for d in os.listdir(vec_root):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
-                shutil.rmtree(os.path.join(vec_root, d))
+    # heal a crashed overwrite + scrub orphaned generations before appending
+    _scrub_orphan_generations(out_dir, next_gen)
 
     spark = new_emb.sparkSession
     cents = _load_centroids(spark, out_dir, p)
@@ -757,6 +760,11 @@ def compact_ivf_index(spark, out_dir: str) -> int:
     n_gens = int(p["next_gen"])
     if n_gens <= 1:
         return 0  # single generation — nothing to fold
+    # orphaned generations (a sync that crashed before its params rewrite)
+    # must NOT be folded in: they would become permanent untracked rows whose
+    # tag-replay then appends the same batch AGAIN — scrub them first, same
+    # as sync does before re-appending
+    _scrub_orphan_generations(out_dir, n_gens)
     vectors = read_table(spark, out_dir, "vectors")
     folded = vectors.withColumn("gen", F.lit(0).cast("int"))
     commit(folded, out_dir, "vectors", partition_by=["gen", "lgroup"],

@@ -425,6 +425,7 @@ def build_ann_index(
             "vec_type": vec_type,
             "merged_srcs": ["__initial__"],
             "next_gen": 1,
+            "build_id": __import__("uuid").uuid4().hex,
         },
     )
 
@@ -459,10 +460,21 @@ def sync_ann_index(
         )
     if src_tag in p["merged_srcs"]:
         return False  # replay of an already-committed batch
-    if new_emb.select(vec_col).first() is None:
+    first = new_emb.select(vec_col).first()
+    if first is None:
         # an empty batch must not consume the tag (its real content may
         # arrive later under the same identity) — same guard as ivf sync
         return False
+    if first[0] is None:
+        raise ValueError(
+            f"sync_ann_index: batch has a NULL {vec_col} — clean the "
+            "delivery before syncing"
+        )
+    if len(first[0]) != int(p["dim"]):
+        raise ValueError(
+            f"sync_ann_index: batch dimension {len(first[0])} != index "
+            f"dimension {p['dim']} — wrong embeddings table for this index"
+        )
     next_gen = int(p["next_gen"])
     # heal a crashed overwrite's vectors.__old BEFORE touching the directory
     # (an append would otherwise strand the entire old corpus), then scrub
@@ -513,6 +525,20 @@ def compact_ann_index(spark, out_dir: str) -> int:
     n_gens = int(p["next_gen"])
     if n_gens <= 1:
         return 0
+    # scrub orphaned generations first (a sync that crashed before its
+    # params rewrite): folding one into gen=0 would make it a permanent
+    # untracked batch whose tag-replay then appends the same rows AGAIN
+    import os
+    import shutil as _shutil
+
+    from ..sources.tables import heal_table
+
+    heal_table(out_dir, "vectors")
+    vec_root = os.path.join(out_dir, "vectors")
+    if os.path.exists(vec_root):
+        for d in os.listdir(vec_root):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= n_gens:
+                _shutil.rmtree(os.path.join(vec_root, d))
     vectors = read_table(spark, out_dir, "vectors")
     folded = vectors.withColumn("gen", F.lit(0).cast("int"))
     commit(folded, out_dir, "vectors", partition_by=["gen", "bgroup"],

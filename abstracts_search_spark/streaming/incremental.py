@@ -228,6 +228,30 @@ def stream_sync_vectors(
             f"(streaming syncs never train the index constants)"
         )
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    # refuse a checkpoint left over from a PREVIOUS build of this index: an
+    # in-place rebuild resets merged_srcs, but the stream's file WAL would
+    # still mark old deliveries consumed — they would silently never reach
+    # the rebuilt index. The build stamps a build_id into its params; the
+    # checkpoint records which build it belongs to.
+    import json as _json
+
+    with open(params_path) as f:
+        build_id = _json.load(f).get("build_id", "__legacy__")
+    marker = os.path.join(checkpoint_dir, "_index_build_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != build_id:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} belongs to a previous build "
+                f"of the {kind} index at {index_dir} (the index was rebuilt) "
+                "— pass a fresh checkpoint_dir, or delete the old one and "
+                "re-deliver its files"
+            )
+    else:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(build_id)
     stream = (
         spark.readStream.schema(schema)
         .option("basePath", embeddings_dir)

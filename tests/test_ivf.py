@@ -264,6 +264,53 @@ def test_ann_compaction(spark, tmp_path):
     assert sync_ann_index(emb.limit(1), out, src_tag="b2") is False  # tag kept
 
 
+def test_compact_scrubs_orphan_generation(spark, tmp_path):
+    """A sync that crashed before its params rewrite leaves an orphan gen;
+    compaction must scrub it (as a replayed sync would), NOT fold it into
+    gen=0 — a folded orphan becomes permanent untracked rows whose tag
+    replay then appends the same batch twice."""
+    import shutil
+
+    from abstracts_search_spark.operators.ivf import compact_ivf_index, sync_ivf_index
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 300), out, n_lists=4, iters=1)
+    sync_ivf_index(emb.filter(F.col("vec_id").between(300, 399)), out, src_tag="b2")
+    # simulate the crash window: gen=2 appended, params never updated
+    shutil.copytree(os.path.join(out, "vectors", "gen=1"),
+                    os.path.join(out, "vectors", "gen=2"))
+    assert compact_ivf_index(spark, out) == 2
+    r = IvfIndexReader(spark, out)
+    assert r.assignments().count() == 400  # orphan scrubbed, not folded
+    # the orphan's batch can now land exactly once
+    assert sync_ivf_index(emb.filter(F.col("vec_id") >= 400), out, src_tag="b3")
+    assert r.assignments().count() == 500
+
+
+def test_ann_sync_dim_and_null_guards(spark, tmp_path):
+    import pytest
+
+    from abstracts_search_spark.operators.similarity import (
+        build_ann_index,
+        sync_ann_index,
+    )
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ann")
+    build_ann_index(emb.filter(F.col("vec_id") < 400), out, n_planes=4)
+    bad_dim = spark.createDataFrame(
+        [(9999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension 2 != index dimension 64"):
+        sync_ann_index(bad_dim, out, src_tag="bad")
+    null_vec = spark.createDataFrame(
+        [(9998, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL embedding"):
+        sync_ann_index(null_vec, out, src_tag="bad2")
+
+
 def test_topk_many_equals_per_query(spark, tmp_path):
     emb = _emb(spark)
     out = str(tmp_path / "ivf")
@@ -484,7 +531,7 @@ def test_cli_ivf_build_query(tmp_path):
 
     params = json.loads(cli("ivf-build", "--embeddings", emb_path, "--index", ix,
                             "--lists", "6", "--iters", "1")[-1])
-    assert params["n_lists"] == 6 and params["format"] == 3
+    assert params["n_lists"] == 6 and params["format"] == 4
     got = [json.loads(line) for line in cli("ivf-query", "--index", ix,
                                             "--embeddings", emb_path,
                                             "--vec-id", "7", "-k", "3")]

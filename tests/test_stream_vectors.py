@@ -110,6 +110,32 @@ def test_two_streams_one_index_no_tag_collision(spark, tmp_path):
     assert IvfIndexReader(spark, ix).assignments().count() == 100
 
 
+def test_stale_checkpoint_refused_after_rebuild(spark, tmp_path):
+    """An in-place index rebuild resets merged_srcs, but the stream's file
+    WAL still marks old deliveries consumed — draining with the old
+    checkpoint would silently leave them out of the rebuilt index forever.
+    The build_id marker turns that into a hard error."""
+    import pytest
+
+    base = str(tmp_path / "base.parquet")
+    _write_emb(base, range(40), seed=10)
+    ix = str(tmp_path / "ivf")
+    build_ivf_index(spark.read.parquet(base), ix, n_lists=4, iters=1)
+    deliveries = str(tmp_path / "incoming")
+    os.makedirs(deliveries)
+    _write_emb(os.path.join(deliveries, "d1.parquet"), range(40, 60), seed=11)
+    assert stream_sync_vectors(spark, deliveries, ix, kind="ivf")["batches"] == 1
+
+    build_ivf_index(spark.read.parquet(base), ix, n_lists=4, iters=1)  # rebuild
+    with pytest.raises(ValueError, match="previous build"):
+        stream_sync_vectors(spark, deliveries, ix, kind="ivf")
+    # a fresh checkpoint re-delivers into the rebuilt index
+    out = stream_sync_vectors(spark, deliveries, ix, kind="ivf",
+                              checkpoint_dir=str(tmp_path / "cp2"))
+    assert out["batches"] == 1
+    assert IvfIndexReader(spark, ix).assignments().count() == 60
+
+
 def test_stream_sync_requires_built_index(spark, tmp_path):
     deliveries = str(tmp_path / "incoming")
     os.makedirs(deliveries)
