@@ -766,48 +766,41 @@ def tune_ann_index(
 
     Sample queries are the index's own ``n_queries`` lowest-vec_id vectors
     (deterministic, no external data). For each probe_hamming radius
-    (0, 1, 2, … up to n_planes) the probed top-k id set is compared against
-    the exact brute top-k; the sweep stops at the first radius reaching
-    recall 1.0 — guaranteed to terminate, since radius n_planes probes every
-    bucket and IS brute force. The chosen radius and the full sweep land in
-    ann_params.json (probe_hamming / tune_recall_at_k), which
-    :func:`ann_index_topk` reads as its default.
+    (0, 1, 2, … up to n_planes) the probed top-k id sets — ONE batched
+    topk_many job per radius, same estimator as tune_ivf_index's sweep —
+    are compared against radius-n_planes ground truth (every bucket probed
+    = the exhaustive scan), so the whole sweep runs O(n_planes) jobs
+    instead of n_queries × radii. Guaranteed to terminate at recall 1.0.
+    The chosen radius and the full sweep land in ann_params.json
+    (probe_hamming / tune_recall_at_k), which :func:`ann_index_topk` reads
+    as its default.
     """
-    from ..sources.tables import read_table
-
-    p = _read_ann_params(out_dir)
-    vectors = read_table(spark, out_dir, "vectors")
+    reader = AnnIndexReader(spark, out_dir)
+    p = reader.params
     qrows = (
-        vectors.select("vec_id", "embedding")
+        reader.vectors.select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(n_queries)
         .collect()
     )
-    truth: dict[int, list[int]] = {}
-    for r in qrows:
-        ids = [
-            row["vec_id"]
-            for row in cosine_topk(
-                vectors, [float(x) for x in r["embedding"]], k=k
-            ).collect()
-        ]
-        truth[r["vec_id"]] = ids
+    # positional query ids: topk_many's query_id column is int32 and
+    # production vec_ids can exceed it
+    qvecs = {i: [float(x) for x in r["embedding"]] for i, r in enumerate(qrows)}
+    n_planes = int(p["n_planes"])
 
+    def _topk_sets(h: int) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {qid: set() for qid in qvecs}
+        for row in reader.topk_many(qvecs, k=k, probe_hamming=h).collect():
+            out[int(row["query_id"])].add(row["vec_id"])
+        return out
+
+    truth = _topk_sets(n_planes) if qvecs else {}
     sweep: dict[str, float] = {}
-    chosen = int(p["n_planes"])
-    for h in range(int(p["n_planes"]) + 1):
-        hits = total = 0
-        for r in qrows:
-            got = {
-                row["vec_id"]
-                for row in ann_index_topk(
-                    spark, out_dir, [float(x) for x in r["embedding"]],
-                    k=k, probe_hamming=h,
-                ).collect()
-            }
-            want = truth[r["vec_id"]]
-            hits += len(got & set(want))
-            total += len(want)
+    chosen = n_planes
+    for h in range(n_planes + 1):
+        got = _topk_sets(h) if qvecs else {}
+        hits = sum(len(got[q] & truth[q]) for q in qvecs)
+        total = sum(len(truth[q]) for q in qvecs)
         recall = round(hits / total, 4) if total else 1.0
         sweep[str(h)] = recall
         if recall >= 1.0:
