@@ -104,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     ic = sub.add_parser("ivf-compact", help="fold all generations back into gen=0")
     ic.add_argument("--index", required=True)
 
+    ii = sub.add_parser("ivf-info", help="cell-occupancy stats (probe-cost balance)")
+    ii.add_argument("--index", required=True)
+
+    ai = sub.add_parser("ann-info", help="bucket-occupancy stats (probe-cost balance)")
+    ai.add_argument("--index", required=True)
+
     ac = sub.add_parser("ann-compact", help="fold all generations back into gen=0")
     ac.add_argument("--index", required=True)
 
@@ -227,6 +233,24 @@ def main(argv: list[str] | None = None) -> int:
             from abstracts_search_spark.operators.ivf import compact_ivf_index
 
             print(json.dumps({"folded_gens": compact_ivf_index(spark, args.index)}))
+        elif args.cmd in ("ivf-info", "ann-info"):
+            if args.cmd == "ivf-info":
+                from abstracts_search_spark.operators.ivf import ivf_cell_stats
+
+                rows = ivf_cell_stats(spark, args.index).collect()
+            else:
+                from abstracts_search_spark.operators.similarity import ann_bucket_stats
+
+                rows = ann_bucket_stats(spark, args.index).collect()
+            occ = [int(r["n_vecs"]) for r in rows]
+            print(json.dumps({
+                "cells": len(rows),
+                "vectors": sum(occ),
+                "empty": sum(1 for n in occ if n == 0),
+                "min": min(occ) if occ else 0,
+                "max": max(occ) if occ else 0,
+                "avg": round(sum(occ) / len(occ), 2) if occ else 0.0,
+            }))
         elif args.cmd == "ann-compact":
             from abstracts_search_spark.operators.similarity import compact_ann_index
 

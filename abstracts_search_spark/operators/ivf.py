@@ -730,6 +730,29 @@ class IvfIndexReader:
         )
 
 
+def ivf_cell_stats(spark, out_dir: str) -> DataFrame:
+    """-> (list, n_vecs) for EVERY trained cell, including empty ones (left
+    join from the centroids table) — cell occupancy is the probe-cost
+    variance at scale: a probe reads its cells' rows, so a hot cell is a hot
+    probe (the stat FAISS exposes as invlist sizes). One narrow groupBy over
+    (list), no vector payload touched thanks to column pruning."""
+    from ..sources.tables import read_table
+
+    occ = (
+        read_table(spark, out_dir, "vectors")
+        .groupBy("list")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    cells = read_table(spark, out_dir, "centroids").select(
+        F.col("cl").alias("list")
+    )
+    return (
+        cells.join(occ, "list", "left")
+        .select("list", F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"))
+        .orderBy("list")
+    )
+
+
 def compact_ivf_index(spark, out_dir: str) -> int:
     """Fold all generations back into gen=0 — the vector-side analog of the
     doc index's postings compaction: a long-lived index that syncs every

@@ -504,6 +504,20 @@ def sync_ann_index(
     return True
 
 
+def ann_bucket_stats(spark, out_dir: str) -> DataFrame:
+    """-> (bucket, n_vecs) for every OCCUPIED bucket (hash buckets have no
+    trained roster, so empties are implicit: 2^n_planes − rows) — the LSH
+    twin of ivf.ivf_cell_stats, same probe-cost-variance rationale."""
+    from ..sources.tables import read_table
+
+    return (
+        read_table(spark, out_dir, "vectors")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
 def compact_ann_index(spark, out_dir: str) -> int:
     """Fold all generations back into gen=0 (same contract, rationale, and
     single-writer/concurrency caveat as ivf.compact_ivf_index): rows and

@@ -631,6 +631,30 @@ def test_build_and_sync_input_guards(spark, tmp_path):
     assert "bad" not in p["merged_srcs"] and p["next_gen"] == 1
 
 
+def test_cell_stats(spark, tmp_path):
+    """Occupancy introspection: every trained cell reported (empties as 0),
+    totals match the corpus, and the LSH twin agrees on its total."""
+    from abstracts_search_spark.operators.ivf import ivf_cell_stats
+    from abstracts_search_spark.operators.similarity import (
+        ann_bucket_stats,
+        build_ann_index,
+    )
+
+    emb = _emb(spark)
+    out = str(tmp_path / "ivf")
+    build_ivf_index(emb, out, n_lists=8, iters=1)
+    rows = ivf_cell_stats(spark, out).collect()
+    assert [r["list"] for r in rows] == list(range(8))  # all cells, in order
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert all(r["n_vecs"] >= 0 for r in rows)
+
+    aout = str(tmp_path / "ann")
+    build_ann_index(emb, aout, n_planes=4)
+    arows = ann_bucket_stats(spark, aout).collect()
+    assert sum(r["n_vecs"] for r in arows) == emb.count()
+    assert all(0 <= r["bucket"] < 16 for r in arows)
+
+
 def test_auto_n_lists_reference_geometry():
     assert auto_n_lists(10**8) == 65104  # ~the reference's 65,536 lists at 10^8
     assert auto_n_lists(1536 * 65536 * 2) == 65536  # clamped at the reference max
