@@ -28,7 +28,7 @@ from abstracts_search_spark.functions.tokenize import (
 )
 from abstracts_search_spark.functions.uninvert import invert_expr, uninvert_expr
 from abstracts_search_spark.operators import dedup, ivf, similarity, textstats
-from abstracts_search_spark.operators.bm25_brute import bm25_score_all, doc_tokens
+from abstracts_search_spark.operators.bm25_brute import bm25_score_scan, doc_tokens
 from abstracts_search_spark.operators.docids import assign_doc_ids
 from abstracts_search_spark.operators.multimodal import decode_features, frame_sample
 from abstracts_search_spark.plans.build import build_doc_index
@@ -176,13 +176,10 @@ def _q_corpus_stats(spark, sf_dir):
 
 
 def _bm25_spark(spark, sf_dir, qtext):
-    import pandas as pd
-
-    from abstracts_search_spark.functions.tokenize import tokenize_pd
-
-    terms = sorted(set(tokenize_pd(pd.Series([qtext]))[0]))
-    toks = doc_tokens(_load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
-    scores = bm25_score_all(toks, terms)
+    # two-scan brute BM25 (stats pass + local scoring pass, zero shuffles —
+    # optimization r6); same formula/results as the old doc_tokens →
+    # bm25_score_all join plan, which remains the tested reference shape
+    scores = bm25_score_scan(_load(spark, sf_dir, "documents"), qtext)
     return (
         scores.select("doc_id", F.round("score", 6).alias("score_r"))
         .orderBy(F.desc("score_r"), F.asc("doc_id"))

@@ -79,12 +79,211 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     top: int = 20,
+    max_dict_shingles: int = 2_000_000,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for all pairs sharing >=1 shingle.
 
     Returns the `top` most-similar pairs (jaccard DESC, doc_a, doc_b) —
     exact but quadratic in the worst case: the ORACLE for the LSH path.
+
+    Plan (optimization r6, guide §2.3/§8): the old shingle self-join +
+    (doc_a, doc_b) count aggregation materializes Σ_s C(df_s, 2) join rows
+    and a distinct-pair hash table — measured 1.38×10^8 join rows and
+    1.13×10^8 distinct pairs on a 50k-doc corpus, which made the final
+    aggregation spill (27–54 s). Intersection counts are instead computed
+    with the blocked-GEMM shape of ``similarity.cosine_pairs_blocked``:
+    repeated shingles (global df ≥ 2 — df=1 shingles cannot contribute to
+    any intersection) become a broadcast id dictionary, each doc becomes a
+    sparse id set, and each (i ≤ j) block pair counts intersections in one
+    vectorized numpy pass, emitting only its local top candidates. The cut
+    keeps every pair whose in-group jaccard is within 3e-6 of the group's
+    ``top``-th value: |round(x,6) − x| ≤ 5.1e-7, so any pair cut this way
+    has ≥ ``top`` pairs strictly above it in the FINAL rounded order —
+    the global top-k is provably unaffected. No pair table is ever
+    shuffled; the final jaccard is computed and rounded in Catalyst exactly
+    as before (same F.round, same tie order, same results).
+
+    Falls back to the join plan when the repeated-shingle dictionary
+    exceeds ``max_dict_shingles`` (this operator is the documented
+    small-data ORACLE for minhash_lsh_pairs, the 100 TB path — but the
+    fallback keeps it correct on any input).
     """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    docs = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _shingles_udf(n)("_text").alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    # repeated shingles only (ONE row per shingle with df >= 2); the +1 row
+    # detects dictionary overflow without a separate count job
+    rep = (
+        docs.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("shingle")
+        .limit(max_dict_shingles + 1)
+        .collect()
+    )
+    if len(rep) > max_dict_shingles:
+        docs.unpersist()
+        return _jaccard_pairs_join(df, id_col, text_col, n, top)
+    sh_ids = {r["shingle"]: i for i, r in enumerate(rep)}
+    n_dict = len(sh_ids)
+    bc = spark.sparkContext.broadcast(sh_ids)
+
+    stats = docs.agg(
+        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    if not stats["n"] or n_dict == 0:
+        docs.unpersist()
+        return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    if int(stats["mn"]) < 0:  # blk = doc_id // block needs non-negative ids
+        docs.unpersist()
+        return _jaccard_pairs_join(df, id_col, text_col, n, top)
+    # block-count target: ~sqrt(4·parallelism) blocks keeps the (i<=j) grid
+    # at a few × cores groups with replication ~nblk/2 per side at ANY corpus
+    # size (a row count–proportional block count would make replication grow
+    # with the corpus)
+    par = spark.sparkContext.defaultParallelism
+    nblk_target = max(2, int(round((4 * par) ** 0.5)))
+    block = max(256, -(-int(stats["mx"] + 1) // nblk_target))
+
+    def to_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = bc.value
+        get = d.get
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = [
+                np.array(
+                    [v for v in (get(s) for s in row) if v is not None],
+                    dtype=np.int64,
+                )
+                for row in pdf["sh"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["doc_id"].to_numpy(),
+                    "n_sh": pdf["sh"].map(len).to_numpy(np.int64),
+                    "ids": ids,
+                    "blk": (pdf["doc_id"].to_numpy(np.int64) // block).astype(np.int32),
+                }
+            )
+
+    v = docs.mapInPandas(
+        to_ids, schema="vid long, n_sh long, ids array<long>, blk int"
+    )
+    nblk = int(stats["mx"]) // block + 1
+    gi = spark.range(nblk).select(F.col("id").cast("int").alias("gi"))
+    gj = spark.range(nblk).select(F.col("id").cast("int").alias("gj"))
+    grid = gi.crossJoin(gj).filter(F.col("gi") <= F.col("gj"))
+    left = v.join(F.broadcast(grid), v.blk == F.col("gi")).select(
+        "gi", "gj", F.lit(0).alias("side"), "vid", "n_sh", "ids"
+    )
+    right = v.join(F.broadcast(grid), v.blk == F.col("gj")).select(
+        "gi", "gj", F.lit(1).alias("side"), "vid", "n_sh", "ids"
+    )
+    both = left.union(right)
+
+    def intersect(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs.multilist import concat_aranges
+
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "inter": []})
+        gi_, gj_ = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1] if gi_ != gj_ else a
+        na, nb = len(a), len(b)
+        if na == 0 or nb == 0:
+            return empty
+        a_ids = a["ids"].to_numpy()
+        b_ids = b["ids"].to_numpy()
+        a_lens = np.fromiter((x.shape[0] for x in a_ids), np.int64, na)
+        b_lens = np.fromiter((x.shape[0] for x in b_ids), np.int64, nb)
+        if not a_lens.sum() or not b_lens.sum():
+            return empty
+        a_doc = np.repeat(np.arange(na, dtype=np.int64), a_lens)
+        a_sh = np.concatenate([x for x in a_ids if x.shape[0]])
+        b_doc = np.repeat(np.arange(nb, dtype=np.int64), b_lens)
+        b_sh = np.concatenate([x for x in b_ids if x.shape[0]])
+        # invert the b side: shingle id -> contiguous slice of b-doc indices
+        b_order = np.argsort(b_sh, kind="stable")
+        b_doc_sorted = b_doc[b_order]
+        b_cnt = np.bincount(b_sh, minlength=n_dict)
+        b_starts = np.zeros(n_dict + 1, dtype=np.int64)
+        np.cumsum(b_cnt, out=b_starts[1:])
+        # one flat gather: every (a-occurrence, matching b-doc) co-occurrence
+        reps = b_cnt[a_sh]
+        rows = np.repeat(a_doc, reps)
+        idx = np.repeat(b_starts[a_sh], reps) + concat_aranges(reps)
+        cols = b_doc_sorted[idx]
+        if rows.shape[0] == 0:
+            return empty
+        keys = rows * nb + cols
+        if na * nb <= 1 << 26:
+            cnt = np.bincount(keys, minlength=na * nb)
+            nzk = np.flatnonzero(cnt)
+            r, c, inter = nzk // nb, nzk % nb, cnt[nzk]
+        else:
+            keys.sort()
+            bounds = np.flatnonzero(np.diff(keys)) + 1
+            starts = np.concatenate([[0], bounds])
+            inter = np.diff(np.concatenate([starts, [keys.shape[0]]]))
+            uk = keys[starts]
+            r, c = uk // nb, uk % nb
+        ga = a["vid"].to_numpy(np.int64)
+        gb = b["vid"].to_numpy(np.int64)
+        if gi_ == gj_:
+            keep = r < c
+            r, c, inter = r[keep], c[keep], inter[keep]
+        if r.shape[0] == 0:
+            return empty
+        doc_a, doc_b = ga[r], gb[c]
+        swap = doc_a > doc_b
+        doc_a2 = np.where(swap, doc_b, doc_a)
+        doc_b2 = np.where(swap, doc_a, doc_b)
+        # margin-proofed local cut (see docstring): unrounded in-group
+        # jaccard; keep everything within 3e-6 of the top-th value
+        nsa = a["n_sh"].to_numpy(np.float64)
+        nsb = b["n_sh"].to_numpy(np.float64)
+        ja = inter / (nsa[r] + nsb[c] - inter)
+        if ja.shape[0] > top:
+            t_k = np.partition(ja, ja.shape[0] - top)[ja.shape[0] - top]
+            keep = ja >= t_k - 3e-6
+            doc_a2, doc_b2, inter = doc_a2[keep], doc_b2[keep], inter[keep]
+        return pd.DataFrame({"doc_a": doc_a2, "doc_b": doc_b2, "inter": inter})
+
+    cand = both.groupBy("gi", "gj").applyInPandas(
+        intersect, "doc_a long, doc_b long, inter long"
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top)
+
+
+def _jaccard_pairs_join(
+    df: DataFrame, id_col: str, text_col: str, n: int, top: int
+) -> DataFrame:
+    """The original shingle self-join plan — the fallback when the repeated-
+    shingle dictionary is too large to broadcast (same results, same oracle;
+    quadratic join-row count, so only the escape hatch for huge vocabularies)."""
     sh = _doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -71,15 +71,31 @@ def phrase_matches(
     The phrase is normalized with the engine tokenizer before matching, so
     'Merge... SPARK!' and 'merge spark' are the same query.
     """
-    from ..functions.tokenize import tokenize_pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.tokenize import _TOKEN_RE, tokenize_pd
 
     toks = list(tokenize_pd(pd.Series([phrase]))[0])
     if not toks:
         return docs.sparkSession.createDataFrame([], "doc_id long, n_hits int")
-    norm = " ".join(toks)
+    # Optimization r6 (guide §4.2): the Catalyst phrase_count_expr evaluates
+    # its tokenizer higher-order functions interpreted (~ms/doc); this
+    # vectorized UDF computes the identical padded stream in Python and
+    # counts with str.count — which IS the greedy non-overlapping counter
+    # the replace arithmetic implements (same counts, tested equal).
+    pat = " " + "  ".join(toks) + " "
+    findall = _TOKEN_RE.findall
+
+    def _count(texts):
+        return texts.map(
+            lambda t: (" " + "  ".join(m.lower() for m in findall(t or "")) + " ").count(pat)
+        ).astype("int32")
+
+    count_udf = pandas_udf(_count, T.IntegerType())
     out = docs.select(
         F.col(id_col).alias("doc_id"),
-        phrase_count_expr(text_col, norm).alias("n_hits"),
+        count_udf(F.col(text_col)).alias("n_hits"),
     ).filter(F.col("n_hits") > 0)
     return out.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(top)
 

@@ -51,11 +51,32 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k -> (vec_id, cos). TakeOrderedAndProject."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cos"),
+    """Exact brute-force cosine top-k -> (vec_id, cos). TakeOrderedAndProject.
+
+    Optimization r6 (guide §4.2): ONE float64 GEMM per Arrow batch
+    (mapInPandas) instead of the interpreted zip_with/aggregate fold —
+    the same scoring kernel (and the same GEMM ≡ sequential-fold
+    equivalence at 6-decimal rounding) every index probe already uses.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qnorm = float(np.linalg.norm(qv))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            cos = (m @ qv) / (np.linalg.norm(m, axis=1) * qnorm)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "cos": np.round(cos, 6)}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, schema="vec_id long, cos double"
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -63,7 +84,7 @@ def cosine_topk(
 def cosine_pairs_blocked(
     emb: DataFrame,
     top: int = 20,
-    block: int = 1024,
+    block: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -76,16 +97,32 @@ def cosine_pairs_blocked(
     inflates by B/2, compute stays the same O(n²·d) but runs at BLAS speed).
     -> (vec_a, vec_b, cos) with cos rounded to 6 decimals,
     (cos DESC, vec_a, vec_b) top `top`.
+
+    Optimization r6: each group emits only pairs whose ROUNDED cos reaches
+    its local ``top``-th largest — the final order sorts exactly these
+    rounded values, so any pair cut locally has ≥ ``top`` group-mates at or
+    above it globally (ties all kept): identical top-`top` result, but the
+    Python→JVM boundary carries ~groups×top rows instead of n²/2 (measured
+    2×10^8 pair rows at 20k vectors before). ``block=None`` auto-sizes the
+    tile so the (i<=j) grid stays a few × parallelism groups with
+    replication ~nblk/2 per side at any corpus size.
     """
     import pandas as pd
 
+    spark = emb.sparkSession
+    if block is None:
+        mx = emb.agg(F.max(id_col)).collect()[0][0]
+        if mx is None:
+            return spark.createDataFrame([], "vec_a long, vec_b long, cos double")
+        par = spark.sparkContext.defaultParallelism
+        nblk_target = max(2, int(round((4 * par) ** 0.5)))
+        block = max(256, -(-int(mx + 1) // nblk_target))
     v = emb.select(
         F.col(id_col).alias("vid"),
         _to_double(F.col(vec_col)).alias("vec"),
         (F.col(id_col) / block).cast("int").alias("blk"),
     )
     nblk = v.agg(F.max("blk")).collect()[0][0] + 1
-    spark = emb.sparkSession
     # the (i <= j) block-pair grid is built AS A PLAN (range × range), never as
     # a driver-side Python list — at 10^6 blocks the old list comprehension
     # was 5×10^11 driver tuples; this is zero driver state at any size
@@ -113,9 +150,12 @@ def cosine_pairs_blocked(
         cos = (ma @ mb.T) / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1))
         ia, ib = np.meshgrid(a["vid"].to_numpy(), b["vid"].to_numpy(), indexing="ij")
         mask = ia < ib
-        return pd.DataFrame(
-            {"vec_a": ia[mask], "vec_b": ib[mask], "cos": np.round(cos[mask], 6)}
-        )
+        va, vb, cr = ia[mask], ib[mask], np.round(cos[mask], 6)
+        if cr.shape[0] > top:  # local top cut on the FINAL (rounded) sort key
+            t_k = np.partition(cr, cr.shape[0] - top)[cr.shape[0] - top]
+            keep = cr >= t_k
+            va, vb, cr = va[keep], vb[keep], cr[keep]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cr})
 
     pairs = both.groupBy("gi", "gj").applyInPandas(gemm, "vec_a long, vec_b long, cos double")
     return pairs.orderBy(F.desc("cos"), "vec_a", "vec_b").limit(top)
@@ -213,7 +253,15 @@ def cosine_pairs_lsh(
         ids = a["vid"].to_numpy()
         ia, ib = np.meshgrid(ids, ids, indexing="ij")
         mask = ia < ib
-        return pd.DataFrame({"vec_a": ia[mask], "vec_b": ib[mask], "cos": np.round(cos[mask], 6)})
+        va, vb, cr = ia[mask], ib[mask], np.round(cos[mask], 6)
+        if cr.shape[0] > top:
+            # local cut on the rounded sort key: cross-band duplicates carry
+            # the SAME cos, so the post-dedup global top-`top` still has every
+            # survivor in its own group's kept set (ties all kept)
+            t_k = np.partition(cr, cr.shape[0] - top)[cr.shape[0] - top]
+            keep = cr >= t_k
+            va, vb, cr = va[keep], vb[keep], cr[keep]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": cr})
 
     pairs = cand.groupBy("band", "bucket").applyInPandas(
         gemm, "vec_a long, vec_b long, cos double"
