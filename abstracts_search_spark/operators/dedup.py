@@ -307,26 +307,79 @@ def _jaccard_pairs_join(
     return out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top)
 
 
+def _minhash_sigs_one(toks: list[str], n: int, num_perm: int) -> list[str] | None:
+    """One doc's tokens -> its num_perm MinHash signatures as md5 hex
+    strings (None when the doc has no shingles). sig_p =
+    min_shingle md5(shingle||'#'||p) — identical to the DuckDB oracle.
+
+    Hot-path details (optimization r6): the md5 state over ``shingle + '#'``
+    is computed once per shingle and ``.copy()``-updated per perm (md5 is a
+    streaming hash — identical digests, ~num_perm× less hashing), and mins
+    are taken over raw digest BYTES (hex encoding is order-preserving, so
+    min-by-bytes == min-by-hex; only the final num_perm winners are hex'd).
+    """
+    import hashlib
+
+    shingles = dict.fromkeys(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+    if not shingles:
+        return None
+    suffixes = [str(p).encode() for p in range(num_perm)]
+    mins: list[bytes | None] = [None] * num_perm
+    for s in shingles:
+        base = hashlib.md5(s.encode() + b"#")
+        for p in range(num_perm):
+            h = base.copy()
+            h.update(suffixes[p])
+            d = h.digest()
+            if mins[p] is None or d < mins[p]:
+                mins[p] = d
+    return [m.hex() for m in mins]
+
+
 def _minhash_sig_cols(df: DataFrame, id_col: str, text_col: str, num_perm: int, n: int) -> DataFrame:
     """-> (doc_id, sig_0..sig_{P-1}): one row per doc, P MinHash signatures.
 
-    Shape chosen for codegen + partial aggregation: explode distinct shingles
-    (one narrow pass), project P static md5 columns (whole-stage codegen — NO
-    higher-order functions, which Spark evaluates interpreted), then
-    groupBy(doc).min per column — the shuffle carries only the map-side
-    partial mins, one row per (partition, doc). sig_p = min md5(shingle||'#'||p),
-    identical to the DuckDB oracle.
+    Optimization r6 (guide §2.4/§4.2): tokenize, shingle, hash and min run
+    in ONE Arrow pass per doc (``_minhash_sigs_one``) — signatures are
+    doc-local, so the old explode → 12 md5 columns → groupBy(doc).min plan
+    shuffled one row per (partition, doc) and hashed every shingle
+    num_perm times in full for nothing. Zero exchanges now; the md5 hex
+    values (and therefore every downstream band/bucket/pair) are identical.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(p)))).alias(f"h{p}")
-            for p in range(num_perm)
-        ],
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.tokenize import _TOKEN_RE
+
+    findall = _TOKEN_RE.findall
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sig_rows = [], []
+            id_arr = pdf["doc_id"].to_numpy()
+            for j, t in enumerate(pdf["_text"]):
+                toks = [m.lower() for m in findall(t or "")]
+                sigs = _minhash_sigs_one(toks, n, num_perm)
+                if sigs is not None:
+                    ids.append(id_arr[j])
+                    sig_rows.append(sigs)
+            out = {"doc_id": ids}
+            for p in range(num_perm):
+                out[f"sig_{p}"] = [s[p] for s in sig_rows]
+            yield pd.DataFrame(out)
+
+    spark = df.sparkSession
+    sig_schema = ", ".join(
+        [f"doc_id {df.schema[id_col].dataType.simpleString()}"]
+        + [f"sig_{p} string" for p in range(num_perm)]
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{p}").alias(f"sig_{p}") for p in range(num_perm)]
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .mapInPandas(run, schema=sig_schema)
     )
 
 

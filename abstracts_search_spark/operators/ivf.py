@@ -39,6 +39,11 @@ means/distances are measure-zero in the fixed test data — and because the
 data is deterministic, a divergence would be a stable oracle failure caught
 by the gate, never a flake. The SQ8 codec, where ties DO occur by
 construction (code boundaries), uses floor(x + 0.5) on both engines instead.
+A second residual of the same class (ADVICE r5): the Lloyd mean's partials
+are summed in PARTITION-ID order on the Spark side (deterministic for a
+fixed partitioning — lloyd_step sorts before stacking), but DuckDB sums in
+its own internal order, so a per-dimension mean within an ulp of a
+6-decimal boundary could still round differently per ENGINE.
 """
 
 from __future__ import annotations
@@ -82,15 +87,48 @@ def _lgroup_of(lists: np.ndarray, n_lists: int, n_groups: int) -> np.ndarray:
     return ((lists.astype(np.int64) * n_groups) // n_lists).astype(np.int32)
 
 
+# assignment GEMM tile bounds (r5 verdict #1): peak per-task memory is
+# O(ASSIGN_ROW_CHUNK × ASSIGN_CENT_BLOCK) float64 (~32 MB at 1024×4096)
+# instead of O(arrow_batch × n_lists) — a 10k-row batch × the reference's
+# 65,536 lists was ~5.2 GB × 2 per concurrent task, which could not run at
+# the geometry this module explicitly targets (README.md:60).
+ASSIGN_ROW_CHUNK = 1024
+ASSIGN_CENT_BLOCK = 4096
+
+
 def assign_ids(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Vectorized nearest-centroid assignment under the determinism contract:
-    argmin over round(d², 6), ties -> lowest list id (np.argmin keeps the
-    first index on ties)."""
-    vv = (m * m).sum(axis=1)
-    vc = m @ cents.T
+    argmin over round(d², 6), ties -> lowest list id.
+
+    Tiled (r5 verdict #1): rows in ASSIGN_ROW_CHUNK slices × centroids in
+    ASSIGN_CENT_BLOCK slices with a running argmin. Each d² element is the
+    same round((‖v‖² − 2·v·c) + ‖c‖², 6) as the untiled version, blocks
+    scan in ascending centroid order and the running update is a strict
+    ``<`` (np.argmin keeps the first index within a block), so ties still
+    resolve to the lowest list id — same assignments, bounded memory
+    (scripts/ivf_assign_microbench.py measures the 65,536-list geometry).
+    """
+    n, k = m.shape[0], cents.shape[0]
     cc = (cents * cents).sum(axis=1)
-    d2 = np.round((vv[:, None] - 2.0 * vc) + cc[None, :], 6)
-    return d2.argmin(axis=1).astype(np.int32)
+    out = np.empty(n, dtype=np.int32)
+    for r0 in range(0, n, ASSIGN_ROW_CHUNK):
+        rows = m[r0 : r0 + ASSIGN_ROW_CHUNK]
+        vv = (rows * rows).sum(axis=1)
+        best_d2: np.ndarray | None = None
+        best_ix: np.ndarray | None = None
+        for c0 in range(0, k, ASSIGN_CENT_BLOCK):
+            cb = cents[c0 : c0 + ASSIGN_CENT_BLOCK]
+            d2 = np.round((vv[:, None] - 2.0 * (rows @ cb.T)) + cc[c0 : c0 + ASSIGN_CENT_BLOCK][None, :], 6)
+            ix = d2.argmin(axis=1)
+            val = d2[np.arange(d2.shape[0]), ix]
+            if best_d2 is None:
+                best_d2, best_ix = val, ix + c0
+            else:
+                upd = val < best_d2  # strict: ties keep the earlier block's id
+                best_d2 = np.where(upd, val, best_d2)
+                best_ix = np.where(upd, ix + c0, best_ix)
+        out[r0 : r0 + ASSIGN_ROW_CHUNK] = best_ix
+    return out
 
 
 def init_centroids(
@@ -126,6 +164,8 @@ def lloyd_step(
     k, d = cents.shape
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
@@ -137,21 +177,30 @@ def lloyd_step(
             np.add.at(counts, cl, 1)
         nz = np.nonzero(counts)[0]
         if len(nz):
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
             yield pd.DataFrame(
                 {
                     "cl": nz.astype(np.int32),
+                    "pid": np.full(len(nz), pid, dtype=np.int32),
                     "psum": list(sums[nz]),
                     "n": counts[nz],
                 }
             )
 
     def reduce_cl(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # partials are summed in PARTITION-ID order (ADVICE r5): the stack
+        # order is then a pure function of the input partitioning, not of
+        # task-arrival timing — the per-run float64 association is fixed.
+        # (The cross-ENGINE summation-order residual vs DuckDB remains and
+        # is documented in the module header.)
+        pdf = pdf.sort_values("pid")
         s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
         return pd.DataFrame(
-            {"cl": [np.int32(key[0])], "psum": [s], "n": [pdf["n"].sum()]}
+            {"cl": [np.int32(key[0])], "pid": [np.int32(0)], "psum": [s], "n": [pdf["n"].sum()]}
         )
 
-    schema = "cl int, psum array<double>, n long"
+    schema = "cl int, pid int, psum array<double>, n long"
     tot = (
         emb.select(id_col, vec_col)
         .mapInPandas(partials, schema=schema)
@@ -372,6 +421,18 @@ def _read_ivf_params(out_dir: str) -> dict:
         return json.load(f)
 
 
+def _write_ivf_params(out_dir: str, params: dict) -> None:
+    """Atomic marker write (ADVICE r5): tmp file + os.replace, so a crash
+    mid-write can never leave a truncated ivf_params.json — the marker
+    either stays the old state (replay converges) or is the complete new
+    one, never JSONDecodeError garbage."""
+    path = _ivf_params_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, path)
+
+
 def build_ivf_index(
     emb: DataFrame,
     out_dir: str,
@@ -470,8 +531,7 @@ def build_ivf_index(
     if quantize in ("sq8", "sq8r"):
         params["sq8_min"] = [float(x) for x in qmin]
         params["sq8_scale"] = [float(x) for x in qscale]
-    with open(_ivf_params_path(out_dir), "w") as f:
-        json.dump(params, f)
+    _write_ivf_params(out_dir, params)
 
 
 def sync_ivf_index(
@@ -540,8 +600,7 @@ def sync_ivf_index(
            sort_by=["list"], row_group_bytes=1 << 20)
     p["merged_srcs"] = p["merged_srcs"] + [src_tag]
     p["next_gen"] = next_gen + 1
-    with open(_ivf_params_path(out_dir), "w") as f:
-        json.dump(p, f)  # marker LAST
+    _write_ivf_params(out_dir, p)  # marker LAST
     return True
 
 
@@ -675,42 +734,64 @@ class IvfIndexReader:
         if nprobe is None:
             nprobe = int(p.get("nprobe", 2))
         qids = sorted(queries)
+        n_lists = int(p["n_lists"])
         probes = {qid: probe_lists(queries[qid], self.centroids, nprobe) for qid in qids}
         by_list: dict[int, list[int]] = {}
         for qi, qid in enumerate(qids):
             for cell in probes[qid]:
                 by_list.setdefault(cell, []).append(qi)
-        groups = sorted(
-            {
-                int(x)
-                for x in _lgroup_of(
-                    np.asarray(sorted(by_list)), p["n_lists"], p["n_groups"]
-                )
-            }
-        )
-        cand = self.vectors.filter(
-            F.col("lgroup").isin(groups) & F.col("list").isin(sorted(by_list))
-        )
+        # exhaustive-width shortcut (r5 verdict #5): nprobe >= n_lists for
+        # every query (the tune ground-truth pass) selects every cell —
+        # skip the In(list,…) filter instead of shipping an n_lists-element
+        # predicate, and fan every row out to all queries
+        full_scan = all(len(probes[qid]) >= n_lists for qid in qids)
+        if full_scan:
+            cand = self.vectors
+        else:
+            groups = sorted(
+                {
+                    int(x)
+                    for x in _lgroup_of(
+                        np.asarray(sorted(by_list)), p["n_lists"], p["n_groups"]
+                    )
+                }
+            )
+            cand = self.vectors.filter(
+                F.col("lgroup").isin(groups) & F.col("list").isin(sorted(by_list))
+            )
         qmat = np.stack([np.asarray(queries[qid], dtype=np.float64) for qid in qids])
         qnorm = np.linalg.norm(qmat, axis=1)
         qid_arr = np.asarray(qids, dtype=np.int64)
-        by_list_arr = {c: np.asarray(qs, dtype=np.int64) for c, qs in by_list.items()}
+        # sorted-cell flat tables (r5 verdict #6): per-batch fan-out is
+        # np.searchsorted + flat gathers — no per-row Python dict lookups
+        ckeys = np.asarray(sorted(by_list), dtype=np.int64)
+        ccnt = np.asarray([len(by_list[int(c)]) for c in ckeys], dtype=np.int64)
+        coff = np.zeros(ckeys.shape[0] + 1, dtype=np.int64)
+        np.cumsum(ccnt, out=coff[1:])
+        cq = np.concatenate(
+            [np.asarray(by_list[int(c)], dtype=np.int64) for c in ckeys]
+        ) if ckeys.shape[0] else np.empty(0, dtype=np.int64)
+        n_q = len(qids)
         to_matrix = _matrix_fn(self.quant, self.centroids)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..codecs.multilist import concat_aranges
+
             for pdf in batches:
                 if not len(pdf):
                     continue
                 m = to_matrix(pdf)
                 cos = (m @ qmat.T) / np.outer(np.linalg.norm(m, axis=1), qnorm)
-                cells = pdf["list"].to_numpy()
                 vids = pdf["vec_id"].to_numpy()
-                qrows = [by_list_arr[int(c)] for c in cells]
-                reps = np.fromiter((a.shape[0] for a in qrows), np.int64, len(qrows))
-                row_idx = np.repeat(np.arange(len(qrows), dtype=np.int64), reps)
-                q_idx = (
-                    np.concatenate(qrows) if qrows else np.empty(0, dtype=np.int64)
-                )
+                nrows = vids.shape[0]
+                if full_scan:
+                    row_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_q)
+                    q_idx = np.tile(np.arange(n_q, dtype=np.int64), nrows)
+                else:
+                    pos = np.searchsorted(ckeys, pdf["list"].to_numpy())
+                    reps = ccnt[pos]
+                    row_idx = np.repeat(np.arange(nrows, dtype=np.int64), reps)
+                    q_idx = cq[np.repeat(coff[pos], reps) + concat_aranges(reps)]
                 yield pd.DataFrame(
                     {
                         "query_id": qid_arr[q_idx].astype(np.int32),
@@ -793,8 +874,7 @@ def compact_ivf_index(spark, out_dir: str) -> int:
     commit(folded, out_dir, "vectors", partition_by=["gen", "lgroup"],
            repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
     p["next_gen"] = 1  # merged_srcs kept: folded batches must still no-op
-    with open(_ivf_params_path(out_dir), "w") as f:
-        json.dump(p, f)
+    _write_ivf_params(out_dir, p)
     return n_gens
 
 
@@ -865,6 +945,23 @@ def tune_ivf_index(spark, out_dir: str, n_queries: int = 8, k: int = 10) -> dict
         nprobe *= 2
     p["nprobe"] = int(chosen)
     p["tune_recall_at_k"] = {"k": k, "n_queries": len(qrows), "sweep": sweep}
-    with open(_ivf_params_path(out_dir), "w") as f:
-        json.dump(p, f)
+    # hot-cell skew disclosure (r5 verdict #7): cell occupancy IS the
+    # probe-cost variance — a probe reads its cells' rows, so a hot cell is
+    # a hot probe (the trained-IVF analog of the documented postings skew).
+    # One narrow groupBy at tune time; recorded so operators see the ratio
+    # without running a job.
+    occ = np.asarray(
+        [int(r["n_vecs"]) for r in ivf_cell_stats(spark, out_dir).collect()],
+        dtype=np.int64,
+    )
+    nz = occ[occ > 0]
+    med = float(np.median(nz)) if nz.size else 0.0
+    p["cell_occupancy"] = {
+        "n_cells": int(occ.size),
+        "n_empty": int((occ == 0).sum()),
+        "max": int(occ.max()) if occ.size else 0,
+        "median_nonempty": med,
+        "max_over_median": round(float(occ.max()) / med, 2) if med else None,
+    }
+    _write_ivf_params(out_dir, p)
     return p

@@ -375,10 +375,26 @@ def _read_ann_params(out_dir: str) -> dict:
 
 
 def _write_ann_params(out_dir: str, params: dict) -> None:
+    """Atomic marker write (ADVICE r5): tmp + os.replace — a crash mid-write
+    leaves the previous complete marker, never truncated JSON."""
     import json
+    import os
 
-    with open(_ann_params_path(out_dir), "w") as f:
+    path = _ann_params_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(params, f)
+    os.replace(tmp, path)
+
+
+def _check_ann_format(p: dict, out_dir: str) -> None:
+    """Shared format-stamp gate (ADVICE r5): pre-format-4 dirs fail with a
+    rebuild message instead of an opaque unresolved-column error on bgroup."""
+    if p.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"ANN index at {out_dir} is format {p.get('format')} "
+            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index"
+        )
 
 
 def _group_shift(n_planes: int) -> int:
@@ -637,6 +653,7 @@ def ann_index_topk(
     from ..sources.tables import read_table
 
     p = _read_ann_params(out_dir)
+    _check_ann_format(p, out_dir)
     if probe_hamming is None:
         probe_hamming = int(p.get("probe_hamming", 1))
     planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
@@ -701,6 +718,7 @@ class AnnIndexReader:
 
         self._sig = self._signature()
         self.params = _read_ann_params(self.index_dir)
+        _check_ann_format(self.params, self.index_dir)
         self.planes = hyperplanes(
             self.params["dim"], self.params["n_planes"], self.params["seed"]
         )
@@ -758,6 +776,7 @@ class AnnIndexReader:
         if not queries:
             return empty
         qids = sorted(queries)
+        n_planes = int(self.params["n_planes"])
         probes = {qid: self._probe(queries[qid], probe_hamming, max_probes) for qid in qids}
         # bucket -> indices of the queries probing it (probe sets are small:
         # |queries| × |probe| entries, driver-side only)
@@ -765,19 +784,36 @@ class AnnIndexReader:
         for qi, qid in enumerate(qids):
             for b in probes[qid]:
                 by_bucket.setdefault(b, []).append(qi)
-        shift = _group_shift(int(self.params["n_planes"]))
-        groups = sorted({b >> shift for b in by_bucket})
-        cand = self.vectors.filter(
-            F.col("bgroup").isin(groups) & F.col("bucket").isin(sorted(by_bucket))
-        )
+        # exhaustive-radius shortcut (r5 verdict #5): when EVERY query probes
+        # every bucket (the tune ground-truth pass), the In(bucket,…)
+        # predicate selects everything — skip it instead of shipping a
+        # 2^n_planes-element filter, and fan every row out to all queries
+        full_scan = all(len(probes[qid]) >= (1 << n_planes) for qid in qids)
+        if full_scan:
+            cand = self.vectors
+        else:
+            shift = _group_shift(n_planes)
+            groups = sorted({b >> shift for b in by_bucket})
+            cand = self.vectors.filter(
+                F.col("bgroup").isin(groups) & F.col("bucket").isin(sorted(by_bucket))
+            )
         qmat = np.stack([np.asarray(queries[qid], dtype=np.float64) for qid in qids])
         qnorm = np.linalg.norm(qmat, axis=1)
         qid_arr = np.asarray(qids, dtype=np.int64)
-        by_bucket_arr = {
-            b: np.asarray(qis, dtype=np.int64) for b, qis in by_bucket.items()
-        }
+        # sorted-bucket flat tables (r5 verdict #6): the per-batch fan-out is
+        # np.searchsorted + flat gathers — no per-row Python dict lookups
+        bkeys = np.asarray(sorted(by_bucket), dtype=np.int64)
+        bcnt = np.asarray([len(by_bucket[int(b)]) for b in bkeys], dtype=np.int64)
+        boff = np.zeros(bkeys.shape[0] + 1, dtype=np.int64)
+        np.cumsum(bcnt, out=boff[1:])
+        bq = np.concatenate(
+            [np.asarray(by_bucket[int(b)], dtype=np.int64) for b in bkeys]
+        ) if bkeys.shape[0] else np.empty(0, dtype=np.int64)
+        n_q = len(qids)
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..codecs.multilist import concat_aranges
+
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -786,17 +822,18 @@ class AnnIndexReader:
                 )
                 # ONE GEMM scores every candidate against every query …
                 cos = (m @ qmat.T) / np.outer(np.linalg.norm(m, axis=1), qnorm)
-                # … then rows emit only for queries whose probe set contains
-                # the row's bucket (per-query pruning semantics preserved);
-                # one dict lookup per ROW, flat gathers for the fan-out
-                buckets = pdf["bucket"].to_numpy()
                 vids = pdf["vec_id"].to_numpy()
-                qrows = [by_bucket_arr[int(b)] for b in buckets]
-                reps = np.fromiter((a.shape[0] for a in qrows), np.int64, len(qrows))
-                row_idx = np.repeat(np.arange(len(qrows), dtype=np.int64), reps)
-                q_idx = (
-                    np.concatenate(qrows) if qrows else np.empty(0, dtype=np.int64)
-                )
+                nrows = vids.shape[0]
+                if full_scan:
+                    row_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_q)
+                    q_idx = np.tile(np.arange(n_q, dtype=np.int64), nrows)
+                else:
+                    # … then rows emit only for queries whose probe set
+                    # contains the row's bucket (per-query pruning preserved)
+                    pos = np.searchsorted(bkeys, pdf["bucket"].to_numpy())
+                    reps = bcnt[pos]
+                    row_idx = np.repeat(np.arange(nrows, dtype=np.int64), reps)
+                    q_idx = bq[np.repeat(boff[pos], reps) + concat_aranges(reps)]
                 yield pd.DataFrame(
                     {
                         "query_id": qid_arr[q_idx].astype(np.int32),
@@ -870,6 +907,21 @@ def tune_ann_index(
             break
     p["probe_hamming"] = int(chosen)
     p["tune_recall_at_k"] = {"k": k, "n_queries": len(qrows), "sweep": sweep}
+    # hot-bucket skew disclosure (r5 verdict #7, LSH twin of the IVF cell
+    # stats): occupied-bucket occupancy recorded at tune time — a hot
+    # bucket is a hot probe; empties are implicit (2^n_planes − n_buckets)
+    occ = np.asarray(
+        [int(r["n_vecs"]) for r in ann_bucket_stats(spark, out_dir).collect()],
+        dtype=np.int64,
+    )
+    med = float(np.median(occ)) if occ.size else 0.0
+    p["bucket_occupancy"] = {
+        "n_buckets_total": 1 << n_planes,
+        "n_occupied": int(occ.size),
+        "max": int(occ.max()) if occ.size else 0,
+        "median_occupied": med,
+        "max_over_median": round(float(occ.max()) / med, 2) if med else None,
+    }
     _write_ann_params(out_dir, p)
     return p
 

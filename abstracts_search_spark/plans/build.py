@@ -364,8 +364,8 @@ def build_doc_index(
     )
     prepared.unpersist()
 
-    with open(os.path.join(index_dir, "params.json"), "w") as f:
-        json.dump(
+    _write_params(
+        os.path.join(index_dir, "params.json"),
             {
                 "k1": K1,
                 "b": B_BM25,
@@ -381,8 +381,18 @@ def build_doc_index(
                 "positions": bool(with_positions),
                 "tokenizer": tokenizer,
             },
-            f,
         )
+
+
+def _write_params(path: str, params: dict) -> None:
+    """Atomic marker write (ADVICE r5, same contract as _write_ivf_params /
+    _write_ann_params): tmp + os.replace so a crash mid-write never leaves a
+    truncated params.json — the marker is either the old complete state or
+    the new one."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, path)
 
 
 def _parts_fingerprint(parts) -> int:
@@ -600,6 +610,23 @@ def merge_index(
         n_terms = f_dict.result()
         f_stats.result()
 
+    # the tokenizer is a fixed contract of the index (README "Tokenizer
+    # contract"); unlike positions it is NOT derivable from segment content.
+    # The prior params value wins when it survived; a destroy-params RECOVERY
+    # (no surviving params) must state the tokenizer explicitly — silently
+    # assuming 'ascii' would record the wrong contract for a unicode-built
+    # index and make IndexReader drop non-Latin query terms (ADVICE r5)
+    if tokenizer is None:
+        if "tokenizer" in prev:
+            tokenizer = prev["tokenizer"]
+        elif prev:
+            tokenizer = "ascii"  # pre-tokenizer-era params: ascii by construction
+        else:
+            raise ValueError(
+                f"merge_index at {index_dir}: params.json is gone and no "
+                "tokenizer was passed — recovery must re-state the index's "
+                "tokenizer contract (pass tokenizer='ascii' or 'unicode')"
+            )
     params = {
         "k1": K1,
         "b": B_BM25,
@@ -613,17 +640,11 @@ def merge_index(
         "n_terms": int(n_terms),
         "max_generations": max_generations,
         "positions": has_positions,
-        # the tokenizer is a fixed contract of the index (README "Tokenizer
-        # contract"); unlike positions it is NOT derivable from segment
-        # content, so the destroy-params recovery path keeps the prior value
-        # when params survived and falls back to the engine default otherwise
-        # (build_index passes the ingest-time value through explicitly)
-        "tokenizer": tokenizer or prev.get("tokenizer", "ascii"),
+        "tokenizer": tokenizer,
     }
     if "method" in prev:  # keep the tune_index winner across syncs/compactions
         params["method"] = prev["method"]
-    with open(params_path, "w") as f:
-        json.dump(params, f)
+    _write_params(params_path, params)
 
     # auto-compaction: generation fan-out exceeded the policy bound — fold
     # everything back to gen=0 (rank-identical by construction, tested). Runs

@@ -5,6 +5,8 @@ dictionary, stats, params) can be destroyed and rebuilt bit-equivalently."""
 import os
 import shutil
 
+import pytest
+
 from abstracts_search_spark.plans.build import build_index, merge_index
 from abstracts_search_spark.plans.query import IndexReader
 
@@ -24,7 +26,12 @@ def test_derived_artifacts_rebuild(spark, small_dir, tmp_path):
         p = os.path.join(ix, sub)
         shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
-    merge_index(spark, ix, buckets=8, shard_docs=64)
+    # recovery must RE-STATE the tokenizer contract (params.json is gone and
+    # the tokenizer is not derivable from segments — ADVICE r5): calling
+    # without it refuses loudly instead of silently assuming ascii
+    with pytest.raises(ValueError, match="tokenizer"):
+        merge_index(spark, ix, buckets=8, shard_docs=64)
+    merge_index(spark, ix, buckets=8, shard_docs=64, tokenizer="ascii")
     after = IndexReader(spark, ix)
     assert after.n_docs == n_docs and abs(after.avgdl - avgdl) < 1e-12
     got = [

@@ -43,7 +43,8 @@ def test_pre_format5_segments_merge_as_nonpositional(spark, tiny_dir, tmp_path):
         shutil.rmtree(os.path.join(ix, t))
     os.remove(os.path.join(ix, "params.json"))
 
-    merge_index(spark, ix, buckets=4, shard_docs=64)
+    # destroy-params recovery re-states the tokenizer contract (ADVICE r5)
+    merge_index(spark, ix, buckets=4, shard_docs=64, tokenizer="ascii")
     with open(os.path.join(ix, "params.json")) as f:
         params = json.load(f)
     assert params["positions"] is False
