@@ -425,11 +425,14 @@ def minhash_lsh_pairs(
             for j in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "bucket"))
+    # narrow (doc_id, band, bucket) rows cached: the signature pass feeds the
+    # guard aggregation AND both sides of the pair join — without the cache
+    # the whole tokenize+minhash pass re-runs per consumer (guide §5)
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "bucket")).cache()
     guard = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz")).filter(
         (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket)
     )
-    small = banded.join(guard.select("band", "bucket"), ["band", "bucket"])
+    small = banded.join(F.broadcast(guard.select("band", "bucket")), ["band", "bucket"])
     a = small.alias("a")
     b = small.alias("b")
     return (

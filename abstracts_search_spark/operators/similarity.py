@@ -231,7 +231,9 @@ def cosine_pairs_lsh(
         per_vec = emb.select(id_col, vec_col).mapInPandas(
             bucketize, schema="vid long, bks array<int>"
         )
-        banded = per_vec.select("vid", F.posexplode("bks").alias("band", "bucket"))
+        # narrow rows cached: the bucketize pass otherwise re-runs for the
+        # guard aggregation and again for the candidate join (guide §5)
+        banded = per_vec.select("vid", F.posexplode("bks").alias("band", "bucket")).cache()
     guard = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("bsz"))
