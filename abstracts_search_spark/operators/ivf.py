@@ -386,20 +386,10 @@ def _matrix_fn(
 
 
 def _scrub_orphan_generations(out_dir: str, next_gen: int) -> None:
-    """Remove generation dirs at/past the params marker — output of a sync
-    that crashed before its params rewrite. Shared by sync (before
-    re-appending) and compact (an orphan folded into gen=0 would become a
-    permanent untracked batch whose replay then DUPLICATES every row)."""
-    import shutil
+    """Shared-lifecycle delegation (vecindex.scrub_orphan_generations)."""
+    from . import vecindex
 
-    from ..sources.tables import heal_table
-
-    heal_table(out_dir, "vectors")
-    vec_root = os.path.join(out_dir, "vectors")
-    if os.path.exists(vec_root):
-        for d in os.listdir(vec_root):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
-                shutil.rmtree(os.path.join(vec_root, d))
+    vecindex.scrub_orphan_generations(out_dir, next_gen)
 
 
 def _load_centroids(spark, out_dir: str, params: dict) -> np.ndarray:
@@ -412,25 +402,32 @@ def _load_centroids(spark, out_dir: str, params: dict) -> np.ndarray:
     return cents
 
 
+# shared lifecycle spec (r5 verdict #8): sync/compact/scrub/staleness live
+# ONCE in operators/vecindex.py for both vector-index families
+def _ivf_spec():
+    from .vecindex import VecIndexSpec
+
+    return VecIndexSpec(
+        kind="IVF", params_file="ivf_params.json",
+        format_version=IVF_INDEX_FORMAT, part_col="lgroup",
+        sort_col="list", builder="build_ivf_index",
+    )
+
+
 def _ivf_params_path(out_dir: str) -> str:
     return os.path.join(out_dir, "ivf_params.json")
 
 
 def _read_ivf_params(out_dir: str) -> dict:
-    with open(_ivf_params_path(out_dir)) as f:
-        return json.load(f)
+    from . import vecindex
+
+    return vecindex.read_params(out_dir, _ivf_spec())
 
 
 def _write_ivf_params(out_dir: str, params: dict) -> None:
-    """Atomic marker write (ADVICE r5): tmp file + os.replace, so a crash
-    mid-write can never leave a truncated ivf_params.json — the marker
-    either stays the old state (replay converges) or is the complete new
-    one, never JSONDecodeError garbage."""
-    path = _ivf_params_path(out_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(params, f)
-    os.replace(tmp, path)
+    from . import vecindex
+
+    vecindex.write_params(out_dir, _ivf_spec(), params)
 
 
 def build_ivf_index(
@@ -550,58 +547,28 @@ def sync_ivf_index(
     past the marker (appended, then crashed before the params update) are
     scrubbed before re-appending, so replays converge. Returns True if a
     generation was appended."""
-    from ..sources.tables import commit
-
-    p = _read_ivf_params(out_dir)
-    if p.get("format") != IVF_INDEX_FORMAT:
-        raise ValueError(
-            f"IVF index at {out_dir} is format {p.get('format')} "
-            f"(current {IVF_INDEX_FORMAT}); rebuild with build_ivf_index "
-            "before appending generations"
-        )
-    if src_tag in p["merged_srcs"]:
-        return False  # replay of an already-committed batch
-    first = new_emb.select(vec_col).first()
-    if first is None:
-        # an empty batch must not consume the tag: a producer that wrote the
-        # delivery file before flushing rows would otherwise have its REAL
-        # data no-op forever when it arrives under the same content identity
-        return False
-    if first[0] is None:
-        raise ValueError(
-            f"sync_ivf_index: batch has a NULL {vec_col} — clean the "
-            "delivery before syncing"
-        )
-    if len(first[0]) != int(p["dim"]):
-        raise ValueError(
-            f"sync_ivf_index: batch dimension {len(first[0])} != index "
-            f"dimension {p['dim']} — wrong embeddings table for this index"
-        )
-    next_gen = int(p["next_gen"])
-    # heal a crashed overwrite + scrub orphaned generations before appending
-    _scrub_orphan_generations(out_dir, next_gen)
+    from . import vecindex
 
     spark = new_emb.sparkSession
-    cents = _load_centroids(spark, out_dir, p)
-    quantize = p.get("quantize", "none")
-    quant = None
-    if quantize in ("sq8", "sq8r"):  # index's FIXED quantizer, no retrain
-        quant = (
-            np.asarray(p["sq8_min"], dtype=np.float64),
-            np.asarray(p["sq8_scale"], dtype=np.float64),
-            quantize == "sq8r",
+
+    def make_rows(p: dict, next_gen: int):
+        cents = _load_centroids(spark, out_dir, p)
+        quantize = p.get("quantize", "none")
+        quant = None
+        if quantize in ("sq8", "sq8r"):  # index's FIXED quantizer, no retrain
+            quant = (
+                np.asarray(p["sq8_min"], dtype=np.float64),
+                np.asarray(p["sq8_scale"], dtype=np.float64),
+                quantize == "sq8r",
+            )
+        return new_emb.select(id_col, vec_col).mapInPandas(
+            _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen, quant=quant),
+            schema=f"vec_id long, {_payload_schema(p['vec_type'], quantize)}, list int, lgroup int, gen int",
         )
-    assigned = new_emb.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cents, id_col, vec_col, int(p["n_groups"]), gen=next_gen, quant=quant),
-        schema=f"vec_id long, {_payload_schema(p['vec_type'], quantize)}, list int, lgroup int, gen int",
+
+    return vecindex.sync_generation(
+        new_emb, out_dir, _ivf_spec(), src_tag, vec_col, make_rows
     )
-    commit(assigned, out_dir, "vectors", mode="append",
-           partition_by=["gen", "lgroup"], repartition_by=["lgroup"],
-           sort_by=["list"], row_group_bytes=1 << 20)
-    p["merged_srcs"] = p["merged_srcs"] + [src_tag]
-    p["next_gen"] = next_gen + 1
-    _write_ivf_params(out_dir, p)  # marker LAST
-    return True
 
 
 def probe_lists(query_vec, cents: np.ndarray, nprobe: int) -> list[int]:
@@ -615,7 +582,10 @@ def probe_lists(query_vec, cents: np.ndarray, nprobe: int) -> list[int]:
     return [int(x) for x in order[: max(1, nprobe)]]
 
 
-class IvfIndexReader:
+from .vecindex import Staleness
+
+
+class IvfIndexReader(Staleness):
     """Long-lived handle on a persisted IVF index: params + centroid matrix
     + the vectors table handle cached driver-side, re-attached when a
     rebuild rewrites ivf_params.json (one stat() per query — the same
@@ -624,12 +594,9 @@ class IvfIndexReader:
     def __init__(self, spark, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._spec = _ivf_spec()
         self._sig: tuple[int, int] | None = None
         self._attach()
-
-    def _signature(self) -> tuple[int, int]:
-        st = os.stat(_ivf_params_path(self.index_dir))
-        return (st.st_mtime_ns, st.st_size)
 
     def _attach(self) -> None:
         from ..sources.tables import read_table
@@ -655,10 +622,6 @@ class IvfIndexReader:
 
     def _payload_col(self) -> str:
         return "codes" if self.quant is not None else "embedding"
-
-    def _refresh_if_stale(self) -> None:
-        if self._signature() != self._sig:
-            self._attach()
 
     def assignments(self) -> DataFrame:
         """-> (vec_id, list_id): the full trained assignment table."""
@@ -853,29 +816,9 @@ def compact_ivf_index(spark, out_dir: str) -> int:
     Crash-wise the window between the swap and the params rewrite is benign:
     old tags still no-op and a new sync appends past the stale next_gen
     without touching gen=0."""
-    from ..sources.tables import commit, read_table
+    from . import vecindex
 
-    p = _read_ivf_params(out_dir)
-    if p.get("format") != IVF_INDEX_FORMAT:
-        raise ValueError(
-            f"IVF index at {out_dir} is format {p.get('format')} "
-            f"(current {IVF_INDEX_FORMAT}); rebuild with build_ivf_index"
-        )
-    n_gens = int(p["next_gen"])
-    if n_gens <= 1:
-        return 0  # single generation — nothing to fold
-    # orphaned generations (a sync that crashed before its params rewrite)
-    # must NOT be folded in: they would become permanent untracked rows whose
-    # tag-replay then appends the same batch AGAIN — scrub them first, same
-    # as sync does before re-appending
-    _scrub_orphan_generations(out_dir, n_gens)
-    vectors = read_table(spark, out_dir, "vectors")
-    folded = vectors.withColumn("gen", F.lit(0).cast("int"))
-    commit(folded, out_dir, "vectors", partition_by=["gen", "lgroup"],
-           repartition_by=["lgroup"], sort_by=["list"], row_group_bytes=1 << 20)
-    p["next_gen"] = 1  # merged_srcs kept: folded batches must still no-op
-    _write_ivf_params(out_dir, p)
-    return n_gens
+    return vecindex.compact_generations(spark, out_dir, _ivf_spec())
 
 
 def ivf_index_topk(

@@ -363,6 +363,18 @@ def _query_sig(query_vec, planes: np.ndarray) -> int:
     return int(sum(1 << i for i in range(planes.shape[0]) if bits[i]))
 
 
+# shared lifecycle spec (r5 verdict #8): sync/compact/scrub/staleness live
+# ONCE in operators/vecindex.py for both vector-index families
+def _ann_spec():
+    from .vecindex import VecIndexSpec
+
+    return VecIndexSpec(
+        kind="ANN", params_file="ann_params.json",
+        format_version=ANN_INDEX_FORMAT, part_col="bgroup",
+        sort_col="bucket", builder="build_ann_index",
+    )
+
+
 def _ann_params_path(out_dir: str) -> str:
     import os
 
@@ -370,33 +382,23 @@ def _ann_params_path(out_dir: str) -> str:
 
 
 def _read_ann_params(out_dir: str) -> dict:
-    import json
+    from . import vecindex
 
-    with open(_ann_params_path(out_dir)) as f:
-        return json.load(f)
+    return vecindex.read_params(out_dir, _ann_spec())
 
 
 def _write_ann_params(out_dir: str, params: dict) -> None:
-    """Atomic marker write (ADVICE r5): tmp + os.replace — a crash mid-write
-    leaves the previous complete marker, never truncated JSON."""
-    import json
-    import os
+    from . import vecindex
 
-    path = _ann_params_path(out_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(params, f)
-    os.replace(tmp, path)
+    vecindex.write_params(out_dir, _ann_spec(), params)
 
 
 def _check_ann_format(p: dict, out_dir: str) -> None:
-    """Shared format-stamp gate (ADVICE r5): pre-format-4 dirs fail with a
-    rebuild message instead of an opaque unresolved-column error on bgroup."""
-    if p.get("format") != ANN_INDEX_FORMAT:
-        raise ValueError(
-            f"ANN index at {out_dir} is format {p.get('format')} "
-            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index"
-        )
+    """Format-stamp gate (ADVICE r5): pre-format-4 dirs fail with a rebuild
+    message instead of an opaque unresolved-column error on bgroup."""
+    from . import vecindex
+
+    vecindex.check_format(p, out_dir, _ann_spec())
 
 
 def _group_shift(n_planes: int) -> int:
@@ -512,62 +514,18 @@ def sync_ann_index(
     append and the params marker converge instead of double-ingesting.
     Returns True if a generation was appended.
     """
-    import os
-    import shutil
+    from . import vecindex
 
-    from ..sources.tables import commit
-
-    p = _read_ann_params(out_dir)
-    if p.get("format") != ANN_INDEX_FORMAT:
-        raise ValueError(
-            f"ANN index at {out_dir} is format {p.get('format')} "
-            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index "
-            "before appending generations"
+    def make_rows(p: dict, next_gen: int):
+        planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
+        return new_emb.select(id_col, vec_col).mapInPandas(
+            _bucketize_fn(planes, id_col, vec_col, gen=next_gen),
+            schema=f"vec_id long, embedding {p['vec_type']}, bucket int, bgroup int, gen int",
         )
-    if src_tag in p["merged_srcs"]:
-        return False  # replay of an already-committed batch
-    first = new_emb.select(vec_col).first()
-    if first is None:
-        # an empty batch must not consume the tag (its real content may
-        # arrive later under the same identity) — same guard as ivf sync
-        return False
-    if first[0] is None:
-        raise ValueError(
-            f"sync_ann_index: batch has a NULL {vec_col} — clean the "
-            "delivery before syncing"
-        )
-    if len(first[0]) != int(p["dim"]):
-        raise ValueError(
-            f"sync_ann_index: batch dimension {len(first[0])} != index "
-            f"dimension {p['dim']} — wrong embeddings table for this index"
-        )
-    next_gen = int(p["next_gen"])
-    # heal a crashed overwrite's vectors.__old BEFORE touching the directory
-    # (an append would otherwise strand the entire old corpus), then scrub
-    # generations past the marker (appended, then crashed before the
-    # params.json update) so reruns are idempotent — same contract as the
-    # postings generation scrub in plans/build.merge_index
-    from ..sources.tables import heal_table
 
-    heal_table(out_dir, "vectors")
-    vec_root = os.path.join(out_dir, "vectors")
-    if os.path.exists(vec_root):
-        for d in os.listdir(vec_root):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= next_gen:
-                shutil.rmtree(os.path.join(vec_root, d))
-
-    planes = hyperplanes(p["dim"], p["n_planes"], p["seed"])
-    bucketed = new_emb.select(id_col, vec_col).mapInPandas(
-        _bucketize_fn(planes, id_col, vec_col, gen=next_gen),
-        schema=f"vec_id long, embedding {p['vec_type']}, bucket int, bgroup int, gen int",
+    return vecindex.sync_generation(
+        new_emb, out_dir, _ann_spec(), src_tag, vec_col, make_rows
     )
-    commit(bucketed, out_dir, "vectors", mode="append",
-           partition_by=["gen", "bgroup"], repartition_by=["bgroup"],
-           sort_by=["bucket"], row_group_bytes=1 << 20)
-    p["merged_srcs"] = p["merged_srcs"] + [src_tag]
-    p["next_gen"] = next_gen + 1
-    _write_ann_params(out_dir, p)  # marker LAST
-    return True
 
 
 def ann_bucket_stats(spark, out_dir: str) -> DataFrame:
@@ -594,38 +552,9 @@ def compact_ann_index(spark, out_dir: str) -> int:
     touching gen=0 — but a CONCURRENT probe from an already-attached reader
     can hit FileNotFound mid-scan and must re-open. Returns the generations
     folded."""
-    from ..sources.tables import commit, read_table
+    from . import vecindex
 
-    p = _read_ann_params(out_dir)
-    if p.get("format") != ANN_INDEX_FORMAT:
-        raise ValueError(
-            f"ANN index at {out_dir} is format {p.get('format')} "
-            f"(current {ANN_INDEX_FORMAT}); rebuild with build_ann_index"
-        )
-    n_gens = int(p["next_gen"])
-    if n_gens <= 1:
-        return 0
-    # scrub orphaned generations first (a sync that crashed before its
-    # params rewrite): folding one into gen=0 would make it a permanent
-    # untracked batch whose tag-replay then appends the same rows AGAIN
-    import os
-    import shutil as _shutil
-
-    from ..sources.tables import heal_table
-
-    heal_table(out_dir, "vectors")
-    vec_root = os.path.join(out_dir, "vectors")
-    if os.path.exists(vec_root):
-        for d in os.listdir(vec_root):
-            if d.startswith("gen=") and int(d.split("=", 1)[1]) >= n_gens:
-                _shutil.rmtree(os.path.join(vec_root, d))
-    vectors = read_table(spark, out_dir, "vectors")
-    folded = vectors.withColumn("gen", F.lit(0).cast("int"))
-    commit(folded, out_dir, "vectors", partition_by=["gen", "bgroup"],
-           repartition_by=["bgroup"], sort_by=["bucket"], row_group_bytes=1 << 20)
-    p["next_gen"] = 1  # merged_srcs kept: folded batches must still no-op
-    _write_ann_params(out_dir, p)
-    return n_gens
+    return vecindex.compact_generations(spark, out_dir, _ann_spec())
 
 
 def ann_index_topk(
@@ -688,7 +617,10 @@ def ann_index_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
-class AnnIndexReader:
+from .vecindex import Staleness
+
+
+class AnnIndexReader(Staleness):
     """Long-lived handle on a persisted ANN index — the vector twin of
     plans/query.IndexReader: params + plane matrix + the vectors table handle
     are cached driver-side and re-attached when a sync rewrites
@@ -706,14 +638,9 @@ class AnnIndexReader:
     def __init__(self, spark, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        self._spec = _ann_spec()
         self._sig: tuple[int, int] | None = None
         self._attach()
-
-    def _signature(self) -> tuple[int, int]:
-        import os
-
-        st = os.stat(_ann_params_path(self.index_dir))
-        return (st.st_mtime_ns, st.st_size)
 
     def _attach(self) -> None:
         from ..sources.tables import read_table
@@ -727,10 +654,6 @@ class AnnIndexReader:
         # handle re-created on staleness: a DataFrame's file index is frozen
         # at read time, so a new gen=G dir is invisible to old handles
         self.vectors = read_table(self.spark, self.index_dir, "vectors")
-
-    def _refresh_if_stale(self) -> None:
-        if self._signature() != self._sig:
-            self._attach()
 
     def _probe(self, query_vec, probe_hamming: int | None, max_probes: int | None):
         if probe_hamming is None:

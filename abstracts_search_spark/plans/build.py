@@ -285,6 +285,18 @@ def build_index(
         )
         metrics["n_turns"] = sum(r[2] for r in lineage_rows)
         metrics["n_docs"] = sum(r[3] for r in lineage_rows)
+        # contract stub (r6): a skip-merge ingest still records the
+        # index-wide contracts fixed at first ingest (tokenizer/positions),
+        # so a later bare merge_index() honors them instead of guessing —
+        # while TRUE destroy-params recovery (stub gone too) refuses loudly.
+        # Overwritten by merge_index's full params when a merge runs.
+        if not os.path.exists(params_path):
+            _write_params(params_path, {
+                "format": INDEX_FORMAT,
+                "tokenizer": tokenizer,
+                "positions": bool(with_positions),
+                "contract_only": True,
+            })
 
     if not skip_merge:
         merge_index(spark, index_dir, buckets=buckets, shard_docs=shard_docs,
