@@ -138,24 +138,17 @@ def jaccard_pairs(
         return _jaccard_pairs_join(df, id_col, text_col, n, top)
     sh_ids = {r["shingle"]: i for i, r in enumerate(rep)}
     n_dict = len(sh_ids)
-    bc = spark.sparkContext.broadcast(sh_ids)
-
-    stats = docs.agg(
-        F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"), F.count("*").alias("n")
-    ).collect()[0]
-    if not stats["n"] or n_dict == 0:
+    if n_dict == 0:  # no repeated shingle -> no pair shares a shingle
         docs.unpersist()
         return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
-    if int(stats["mn"]) < 0:  # blk = doc_id // block needs non-negative ids
-        docs.unpersist()
-        return _jaccard_pairs_join(df, id_col, text_col, n, top)
-    # block-count target: ~sqrt(4·parallelism) blocks keeps the (i<=j) grid
-    # at a few × cores groups with replication ~nblk/2 per side at ANY corpus
-    # size (a row count–proportional block count would make replication grow
-    # with the corpus)
+    bc = spark.sparkContext.broadcast(sh_ids)
+    # HASH blocks (pmod), ~sqrt(4·parallelism) of them: balanced for any id
+    # distribution (incl. sparse/negative ids) with zero driver-side sizing
+    # jobs; the group fn swap-normalizes cross-block pairs, so every
+    # unordered pair lands in exactly one (i<=j) grid cell. A fixed block
+    # COUNT keeps replication ~nblk/2 per side at any corpus size.
     par = spark.sparkContext.defaultParallelism
-    nblk_target = max(2, int(round((4 * par) ** 0.5)))
-    block = max(256, -(-int(stats["mx"] + 1) // nblk_target))
+    nblk = max(2, int(round((4 * par) ** 0.5)))
 
     def to_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d = bc.value
@@ -175,14 +168,13 @@ def jaccard_pairs(
                     "vid": pdf["doc_id"].to_numpy(),
                     "n_sh": pdf["sh"].map(len).to_numpy(np.int64),
                     "ids": ids,
-                    "blk": (pdf["doc_id"].to_numpy(np.int64) // block).astype(np.int32),
+                    "blk": np.mod(pdf["doc_id"].to_numpy(np.int64), nblk).astype(np.int32),
                 }
             )
 
     v = docs.mapInPandas(
         to_ids, schema="vid long, n_sh long, ids array<long>, blk int"
     )
-    nblk = int(stats["mx"]) // block + 1
     gi = spark.range(nblk).select(F.col("id").cast("int").alias("gi"))
     gj = spark.range(nblk).select(F.col("id").cast("int").alias("gj"))
     grid = gi.crossJoin(gj).filter(F.col("gi") <= F.col("gj"))

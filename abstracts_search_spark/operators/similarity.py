@@ -84,14 +84,14 @@ def cosine_topk(
 def cosine_pairs_blocked(
     emb: DataFrame,
     top: int = 20,
-    block: int | None = None,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs cosine via blocked numpy matmul -> top pairs.
 
     The scalable shape for exact quadratic similarity: vectors are tiled into
-    id-range blocks; each (i<=j) block pair becomes one applyInPandas group
+    hash blocks; each (i<=j) block pair becomes one applyInPandas group
     that does a single float64 GEMM — no per-pair expression evaluation, no
     materialized pair table. Replication factor is n_blocks/2 per side (data
     inflates by B/2, compute stays the same O(n²·d) but runs at BLAS speed).
@@ -103,26 +103,26 @@ def cosine_pairs_blocked(
     rounded values, so any pair cut locally has ≥ ``top`` group-mates at or
     above it globally (ties all kept): identical top-`top` result, but the
     Python→JVM boundary carries ~groups×top rows instead of n²/2 (measured
-    2×10^8 pair rows at 20k vectors before). ``block=None`` auto-sizes the
-    tile so the (i<=j) grid stays a few × parallelism groups with
-    replication ~nblk/2 per side at any corpus size.
+    2×10^8 pair rows at 20k vectors before). Blocks are HASH tiles
+    (``pmod(id, n_blocks)``): balanced for any id distribution (incl.
+    sparse/negative ids) with ZERO driver-side sizing jobs; cross-block
+    pairs are swap-normalized inside the group, diagonal blocks keep the
+    local ``ia < ib`` mask — every unordered pair lands in exactly one
+    (i ≤ j) grid cell either way. ``n_blocks`` defaults to
+    ~sqrt(4·parallelism), so the grid stays a few × cores groups with
+    replication ~n_blocks/2 per side at any corpus size.
     """
     import pandas as pd
 
     spark = emb.sparkSession
-    if block is None:
-        mx = emb.agg(F.max(id_col)).collect()[0][0]
-        if mx is None:
-            return spark.createDataFrame([], "vec_a long, vec_b long, cos double")
-        par = spark.sparkContext.defaultParallelism
-        nblk_target = max(2, int(round((4 * par) ** 0.5)))
-        block = max(256, -(-int(mx + 1) // nblk_target))
+    nblk = n_blocks or max(
+        2, int(round((4 * spark.sparkContext.defaultParallelism) ** 0.5))
+    )
     v = emb.select(
         F.col(id_col).alias("vid"),
         _to_double(F.col(vec_col)).alias("vec"),
-        (F.col(id_col) / block).cast("int").alias("blk"),
+        F.pmod(F.col(id_col), F.lit(nblk)).cast("int").alias("blk"),
     )
-    nblk = v.agg(F.max("blk")).collect()[0][0] + 1
     # the (i <= j) block-pair grid is built AS A PLAN (range × range), never as
     # a driver-side Python list — at 10^6 blocks the old list comprehension
     # was 5×10^11 driver tuples; this is zero driver state at any size
@@ -149,8 +149,15 @@ def cosine_pairs_blocked(
         # order as the SQL oracle (modulo summation order inside the GEMM)
         cos = (ma @ mb.T) / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1))
         ia, ib = np.meshgrid(a["vid"].to_numpy(), b["vid"].to_numpy(), indexing="ij")
-        mask = ia < ib
-        va, vb, cr = ia[mask], ib[mask], np.round(cos[mask], 6)
+        if gi == gj:
+            mask = ia < ib  # each within-block pair once
+            va, vb, cr = ia[mask], ib[mask], np.round(cos[mask], 6)
+        else:
+            # hash blocks: every (a, b) combo is a distinct unordered pair
+            # appearing in exactly this grid cell — swap-normalize the ids
+            va, vb, cr = ia.ravel(), ib.ravel(), np.round(cos.ravel(), 6)
+            swap = va > vb
+            va, vb = np.where(swap, vb, va), np.where(swap, va, vb)
         if cr.shape[0] > top:  # local top cut on the FINAL (rounded) sort key
             t_k = np.partition(cr, cr.shape[0] - top)[cr.shape[0] - top]
             keep = cr >= t_k

@@ -172,10 +172,10 @@ def test_cosine_pairs_blocked_topk_cut_exact(spark, emb):
         for r in cosine_pairs_blocked(emb, top=25).collect()
     ]
     assert got == want
-    # a tiny explicit block exercises many groups + the per-group cut
+    # an explicit block count exercises many groups + the per-group cut
     got_small = [
         (r["vec_a"], r["vec_b"], r["cos"])
-        for r in cosine_pairs_blocked(emb, top=25, block=64).collect()
+        for r in cosine_pairs_blocked(emb, top=25, n_blocks=16).collect()
     ]
     assert got_small == want
 
