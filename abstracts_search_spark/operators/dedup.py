@@ -220,17 +220,16 @@ def jaccard_pairs(
         if rows.shape[0] == 0:
             return empty
         keys = rows * nb + cols
-        if na * nb <= 1 << 26:
-            cnt = np.bincount(keys, minlength=na * nb)
-            nzk = np.flatnonzero(cnt)
-            r, c, inter = nzk // nb, nzk % nb, cnt[nzk]
-        else:
-            keys.sort()
-            bounds = np.flatnonzero(np.diff(keys)) + 1
-            starts = np.concatenate([[0], bounds])
-            inter = np.diff(np.concatenate([starts, [keys.shape[0]]]))
-            uk = keys[starts]
-            r, c = uk // nb, uk % nb
+        # in-place sort + run-length count. A dense bincount over na*nb slots
+        # was tried first and is CPU-cheaper on paper, but its ~165 MB
+        # zero-filled allocation per group put 50-60% of the query in KERNEL
+        # time (page zeroing + TLB shootdowns across 32 workers, measured via
+        # /proc/stat); the sort touches only the already-materialized keys
+        keys.sort()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+        inter = np.diff(np.concatenate([starts, [keys.shape[0]]]))
+        uk = keys[starts]
+        r, c = uk // nb, uk % nb
         ga = a["vid"].to_numpy(np.int64)
         gb = b["vid"].to_numpy(np.int64)
         if gi_ == gj_:
