@@ -79,8 +79,26 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    row = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
-    return [float(x) for x in row["embedding"]]
+    return _query_vecs(spark, sf_dir, [0])[0]
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str, vec_ids: list[int]) -> dict[int, list[float]]:
+    """Query vectors read straight from the parquet input with pyarrow
+    (predicate-pushed row-group read) — fetching a handful of rows is
+    driver-side metadata work, not a Spark job (optimization r6: the old
+    filter+collect paid a full job's scheduling latency before every vector
+    query). Recomputed from the input on every call — nothing is memoized.
+    Float32 storage widens to float64 exactly, as the collect path did."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(vec_ids))],
+    )
+    ids = t.column("vec_id").to_pylist()
+    embs = t.column("embedding").to_pylist()
+    return {int(i): [float(x) for x in e] for i, e in zip(ids, embs)}
 
 
 # ---------------------------------------------------------------- entry ----
@@ -361,9 +379,7 @@ def _q_ann_lsh_many(spark, sf_dir):
     # pruned to the union of the queries' probe buckets and every candidate
     # batch is scored against all queries with a single GEMM
     # (AnnIndexReader.topk_many, the ANN analog of query_many)
-    emb = _load(spark, sf_dir, "embeddings")
-    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
-    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    queries = _query_vecs(spark, sf_dir, [0, 1, 2])
     return _ann_reader(spark, sf_dir).topk_many(queries, k=ANN_K, probe_hamming=1)
 
 
@@ -425,9 +441,7 @@ def _q_ivf_topk_many(spark, sf_dir):
     # batched trained-IVF probe: three query vectors in ONE job — scan pruned
     # to the union of the queries' probe cells, one GEMM per candidate batch
     # against all queries (IvfIndexReader.topk_many, twin of the batched ANN)
-    emb = _load(spark, sf_dir, "embeddings")
-    rows = emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
-    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    queries = _query_vecs(spark, sf_dir, [0, 1, 2])
     return _ivf_reader(spark, sf_dir).topk_many(queries, k=ANN_K, nprobe=IVF_NPROBE)
 
 
