@@ -114,18 +114,16 @@ def jaccard_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    docs = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _shingles_udf(n)("_text").alias("sh"))
-        .filter(F.size("sh") > 0)
-        .cache()
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     # repeated shingles only (ONE row per shingle with df >= 2); the +1 row
-    # detects dictionary overflow without a separate count job
+    # detects dictionary overflow without a separate count job. Computed
+    # straight from the source: caching the per-doc shingle ARRAYS was
+    # measured at 3-5 s of columnar-store serialization at 50k docs — one
+    # extra tokenize pass is far cheaper than materializing nested arrays.
     rep = (
-        docs.select(F.explode("sh").alias("shingle"))
+        src.select(F.explode(_shingles_udf(n)("_text")).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > 1)
@@ -134,12 +132,10 @@ def jaccard_pairs(
         .collect()
     )
     if len(rep) > max_dict_shingles:
-        docs.unpersist()
         return _jaccard_pairs_join(df, id_col, text_col, n, top)
     sh_ids = {r["shingle"]: i for i, r in enumerate(rep)}
     n_dict = len(sh_ids)
     if n_dict == 0:  # no repeated shingle -> no pair shares a shingle
-        docs.unpersist()
         return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
     bc = spark.sparkContext.broadcast(sh_ids)
     # HASH blocks (pmod), ~sqrt(4·parallelism) of them: balanced for any id
@@ -150,46 +146,53 @@ def jaccard_pairs(
     par = spark.sparkContext.defaultParallelism
     nblk = max(2, int(round((4 * par) ** 0.5)))
 
-    def to_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.tokenize import _TOKEN_RE
+
+    findall = _TOKEN_RE.findall
+
+    def to_grid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE pass does tokenize -> shingle -> id-set AND the (i<=j) grid
+        # replication (each doc emits one row per grid cell its block joins),
+        # so no grid join and no second shingle computation exist in the plan
         d = bc.value
         get = d.get
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = [
-                np.array(
-                    [v for v in (get(s) for s in row) if v is not None],
+            out = {"gi": [], "gj": [], "side": [], "vid": [], "n_sh": [], "ids": []}
+            for vid, t in zip(pdf["doc_id"].to_numpy(), pdf["_text"]):
+                toks = [m.lower() for m in findall(t or "")]
+                shingles = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                if not shingles:
+                    continue
+                ids = np.array(
+                    [v for v in (get(s) for s in shingles) if v is not None],
                     dtype=np.int64,
                 )
-                for row in pdf["sh"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["doc_id"].to_numpy(),
-                    "n_sh": pdf["sh"].map(len).to_numpy(np.int64),
-                    "ids": ids,
-                    "blk": np.mod(pdf["doc_id"].to_numpy(np.int64), nblk).astype(np.int32),
-                }
-            )
+                if not ids.shape[0]:
+                    continue  # no repeated shingle: the doc can pair with nothing
+                b = int(vid) % nblk
+                n_sh = len(shingles)
+                for j in range(nblk):
+                    out["gi"].append(min(b, j))
+                    out["gj"].append(max(b, j))
+                    out["side"].append(0 if b <= j else 1)
+                    out["vid"].append(vid)
+                    out["n_sh"].append(n_sh)
+                    out["ids"].append(ids)
+            if out["vid"]:
+                yield pd.DataFrame(out)
 
-    v = docs.mapInPandas(
-        to_ids, schema="vid long, n_sh long, ids array<long>, blk int"
+    both = src.mapInPandas(
+        to_grid, schema="gi int, gj int, side int, vid long, n_sh long, ids array<long>"
     )
-    gi = spark.range(nblk).select(F.col("id").cast("int").alias("gi"))
-    gj = spark.range(nblk).select(F.col("id").cast("int").alias("gj"))
-    grid = gi.crossJoin(gj).filter(F.col("gi") <= F.col("gj"))
-    left = v.join(F.broadcast(grid), v.blk == F.col("gi")).select(
-        "gi", "gj", F.lit(0).alias("side"), "vid", "n_sh", "ids"
-    )
-    right = v.join(F.broadcast(grid), v.blk == F.col("gj")).select(
-        "gi", "gj", F.lit(1).alias("side"), "vid", "n_sh", "ids"
-    )
-    both = left.union(right)
 
     def intersect(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from ..codecs.multilist import concat_aranges
 
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "inter": []})
+        empty = pd.DataFrame(
+            {"doc_a": [], "doc_b": [], "inter": [], "na": [], "nb": []}
+        )
         gi_, gj_ = int(key[0]), int(key[1])
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1] if gi_ != gj_ else a
@@ -242,30 +245,27 @@ def jaccard_pairs(
         doc_a2 = np.where(swap, doc_b, doc_a)
         doc_b2 = np.where(swap, doc_a, doc_b)
         # margin-proofed local cut (see docstring): unrounded in-group
-        # jaccard; keep everything within 3e-6 of the top-th value
-        nsa = a["n_sh"].to_numpy(np.float64)
-        nsb = b["n_sh"].to_numpy(np.float64)
-        ja = inter / (nsa[r] + nsb[c] - inter)
+        # jaccard; keep everything within 3e-6 of the top-th value. Set
+        # sizes ride along with the pair, so no size join exists downstream.
+        na_k = a["n_sh"].to_numpy(np.int64)[r]
+        nb_k = b["n_sh"].to_numpy(np.int64)[c]
+        ja = inter / (na_k.astype(np.float64) + nb_k - inter)
         if ja.shape[0] > top:
             t_k = np.partition(ja, ja.shape[0] - top)[ja.shape[0] - top]
             keep = ja >= t_k - 3e-6
             doc_a2, doc_b2, inter = doc_a2[keep], doc_b2[keep], inter[keep]
-        return pd.DataFrame({"doc_a": doc_a2, "doc_b": doc_b2, "inter": inter})
+            na_k, nb_k = na_k[keep], nb_k[keep]
+        return pd.DataFrame(
+            {"doc_a": doc_a2, "doc_b": doc_b2, "inter": inter, "na": na_k, "nb": nb_k}
+        )
 
     cand = both.groupBy("gi", "gj").applyInPandas(
-        intersect, "doc_a long, doc_b long, inter long"
+        intersect, "doc_a long, doc_b long, inter long, na long, nb long"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    out = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    out = cand.withColumn(
+        "jaccard",
+        F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+    ).select("doc_a", "doc_b", "jaccard")
     return out.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(top)
 
 
